@@ -1,0 +1,207 @@
+"""Dataprep orchestration: eventalign.txt -> data.json / data.info / data.log.
+
+Same file contracts as the reference
+(reference: m6anet/utils/dataprep_utils.py:328-488) with a different
+process architecture: the reference parses the whole file serially in the
+main process and farms only the windowing to lock-synchronised consumers;
+here workers are handed (transcript, byte-range list) tasks, do their own
+seek+parse+combine+window, and the main process is a single sequential writer
+(no file locks, deterministic offset bookkeeping).
+
+Output data.json lines are ``{"<tx>":{"<pos>":{"<7mer>":[[9 floats, read_id]...]}}}``
+and data.info records the byte span of every line plus its read count, so the
+reference's own readers (and ours) can seek straight to any site.
+"""
+from __future__ import annotations
+
+import json
+import multiprocessing
+import os
+from concurrent.futures import FIRST_COMPLETED, ProcessPoolExecutor, wait
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .combine import combine_read
+from .indexer import build_index, open_eventalign, read_index
+from .windowing import window_read
+
+# One featurized site ready for serialisation:
+# (position, json line string, n_reads)
+SiteRecord = Tuple[int, str, int]
+
+_worker_eventalign_path: Optional[str] = None
+_worker_file = None
+
+
+def _worker_init(eventalign_path: str):
+    global _worker_eventalign_path, _worker_file
+    _worker_eventalign_path = eventalign_path
+    _worker_file = open_eventalign(eventalign_path, buffering=1024 * 1024)
+
+
+def featurize_transcript(
+    tx_id: str,
+    read_slices: List[Tuple[int, int, int]],
+    n_neighbors: int,
+    min_segment_count: int,
+    compress: bool,
+    eventalign_file=None,
+) -> List[SiteRecord]:
+    """Featurize one transcript: read byte slices -> per-site JSON lines.
+
+    ``read_slices`` is [(read_index, start, end), ...] in eventalign.index
+    order.  Duplicated read_index keeps only the last occurrence, matching the
+    reference's dict overwrite (reference: m6anet/utils/dataprep_utils.py:385).
+    """
+    f = eventalign_file if eventalign_file is not None else _worker_file
+    per_read: Dict[int, Tuple] = {}
+    for read_index, start, end in read_slices:
+        f.seek(start)
+        combined = combine_read(f.read(end - start))
+        if combined is not None:
+            per_read[read_index] = combined
+
+    all_pos: List[np.ndarray] = []
+    all_seq: List[np.ndarray] = []
+    all_feat: List[np.ndarray] = []
+    all_read: List[np.ndarray] = []
+    for read_index, combined in per_read.items():
+        windowed = window_read(combined, n_neighbors)
+        if windowed is None:
+            continue
+        pos, seq, feat = windowed
+        all_pos.append(pos)
+        all_seq.append(seq)
+        all_feat.append(feat)
+        all_read.append(np.full(len(pos), read_index, dtype=np.int64))
+
+    if not all_pos:
+        return []
+
+    positions = np.concatenate(all_pos)
+    seqs = np.concatenate(all_seq)
+    feats = np.concatenate(all_feat)
+    read_ids = np.concatenate(all_read)
+
+    # Stable sort by position keeps reads in file order within a site
+    # (reference: m6anet/utils/dataprep_utils.py:444-450).
+    order = np.argsort(positions, kind="stable")
+    positions, seqs, feats, read_ids = positions[order], seqs[order], feats[order], read_ids[order]
+    uniq_pos, starts = np.unique(positions, return_index=True)
+    bounds = np.concatenate([starts[1:], [len(positions)]])
+
+    records: List[SiteRecord] = []
+    for pos, s, e in zip(uniq_pos, starts, bounds):
+        seq = seqs[s]
+        n_reads = e - s
+        # The reference additionally skips all-XXXXX placeholder motifs
+        # (reference: m6anet/utils/dataprep_utils.py:465-467); unreachable
+        # here because the DRACH center filter already excludes them.
+        if n_reads < min_segment_count:
+            continue
+        feat = feats[s:e]
+        if compress:
+            feat = feat.round(decimals=3)
+        rows = np.concatenate([feat, read_ids[s:e, None].astype(np.float64)], axis=1)
+        payload = {seq.decode(): rows.tolist()}
+        line = '{"%s":{"%d":%s}}\n' % (
+            tx_id,
+            int(pos),
+            json.dumps(payload, separators=(",", ":")),
+        )
+        records.append((int(pos), line, int(n_reads)))
+    return records
+
+
+def _featurize_task(args) -> Tuple[str, List[SiteRecord]]:
+    tx_id, read_slices, n_neighbors, min_segment_count, compress = args
+    return tx_id, featurize_transcript(tx_id, read_slices, n_neighbors, min_segment_count, compress)
+
+
+def iter_transcript_tasks(index_rows) -> Iterator[Tuple[str, List[Tuple[int, int, int]]]]:
+    """Group index rows by transcript, preserving first-appearance order
+    (reference: m6anet/utils/dataprep_utils.py:370-379)."""
+    by_tx: Dict[str, List[Tuple[int, int, int]]] = {}
+    for tx_id, read_index, start, end in index_rows:
+        by_tx.setdefault(tx_id, []).append((read_index, start, end))
+    yield from by_tx.items()
+
+
+def run_dataprep(
+    eventalign_path: str,
+    out_dir: str,
+    n_processes: int = 1,
+    chunk_size: int = 1_000_000,
+    readcount_min: int = 1,
+    readcount_max: int = 1000,
+    min_segment_count: int = 20,
+    n_neighbors: int = 1,
+    compress: bool = False,
+    skip_index: bool = False,
+) -> None:
+    """Full dataprep: index (stage A) + featurize/write (stage B).
+
+    ``chunk_size`` is accepted for CLI compatibility but unused — the
+    streaming indexer has no chunking knob.
+    """
+    del chunk_size
+    os.makedirs(out_dir, exist_ok=True)
+    index_path = os.path.join(out_dir, "eventalign.index")
+    if not skip_index or not os.path.exists(index_path):
+        build_index(eventalign_path, out_dir)
+
+    index_rows = read_index(index_path)
+
+    json_path = os.path.join(out_dir, "data.json")
+    info_path = os.path.join(out_dir, "data.info")
+    log_path = os.path.join(out_dir, "data.log")
+
+    def task_args():
+        for tx_id, slices in iter_transcript_tasks(index_rows):
+            # readcount gates count *attempted* reads, and the reference's
+            # post-increment break admits readcount_max + 1 of them
+            # (reference: m6anet/utils/dataprep_utils.py:379-390).
+            if len(slices) < readcount_min:
+                continue
+            yield tx_id, slices[: readcount_max + 1], n_neighbors, min_segment_count, compress
+
+    with open(json_path, "w", encoding="utf-8") as f_json, open(
+        info_path, "w", encoding="utf-8"
+    ) as f_info, open(log_path, "w", encoding="utf-8") as f_log:
+        f_info.write("transcript_id,transcript_position,start,end,n_reads\n")
+
+        def write_result(tx_id: str, records: List[SiteRecord]):
+            for pos, line, n_reads in records:
+                start = f_json.tell()
+                f_json.write(line)
+                end = f_json.tell()
+                f_info.write(f"{tx_id},{pos},{start},{end},{n_reads}\n")
+            f_log.write(f"{tx_id}: Data preparation ... Done.\n")
+
+        if n_processes <= 1:
+            with open_eventalign(eventalign_path, buffering=1024 * 1024) as ev:
+                for tx_id, slices, nn, msc, comp in task_args():
+                    write_result(
+                        tx_id,
+                        featurize_transcript(tx_id, slices, nn, msc, comp, eventalign_file=ev),
+                    )
+        else:
+            # spawn: forking a process that may already hold jax/XLA threads
+            # (e.g. when dataprep is called from a test session) can deadlock.
+            with ProcessPoolExecutor(
+                max_workers=n_processes,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_worker_init,
+                initargs=(eventalign_path,),
+            ) as pool:
+                pending = set()
+                max_pending = n_processes * 4
+                for args in task_args():
+                    pending.add(pool.submit(_featurize_task, args))
+                    if len(pending) >= max_pending:
+                        done, pending = wait(pending, return_when=FIRST_COMPLETED)
+                        for fut in done:
+                            write_result(*fut.result())
+                for fut in pending:
+                    write_result(*fut.result())
