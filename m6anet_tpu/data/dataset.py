@@ -1,0 +1,337 @@
+"""Site datasets over dataprep output (data.json + data.info).
+
+Capability parity with the reference's dataset layer
+(reference: m6anet/utils/data_utils.py:20-495 — NanopolishDS and
+NanopolishReplicateDS), re-designed for a device-feed pipeline: instead of a
+torch DataLoader doing per-site seeks in worker processes, a dataset here is
+an ordered collection of sites whose payloads are read with a single
+file handle in offset order (data.json lines are contiguous, so scanning in
+data.info order is near-sequential I/O) and packed into flat, padded device
+batches by m6anet_tpu/data/batching.py.
+
+Feature normalization, neighbour sub-window selection, train-mode read
+sampling and the replicate merge semantics all follow the reference contract.
+"""
+from __future__ import annotations
+
+import os
+import json
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import pandas as pd
+
+from ..constants import DEFAULT_MIN_READS, KMER_TO_INT
+from .norm import NormDict, annotate_kmer_information, compute_norm_dict, load_norm_factors, site_norm_vectors
+
+ALLOWED_MODES = ("Train", "Test", "Val", "Inference")
+
+
+@dataclass
+class Site:
+    """One candidate DRACH site, ready for batching."""
+
+    tx_id: str
+    tx_pos: int
+    read_ids: np.ndarray  # int64 for single-run; unicode for replicates
+    features: np.ndarray  # (n_reads, 3*(2w+1)) float32, normalized
+    kmer_ids: np.ndarray  # (2w+1,) int32 vocabulary ids
+    sequence: str  # (2w+5)-mer context
+    label: Optional[int] = None
+
+    @property
+    def n_reads(self) -> int:
+        return len(self.features)
+
+    @property
+    def center_kmer(self) -> str:
+        n_pos = len(self.kmer_ids)
+        return self.sequence[(n_pos - 1) // 2 :][:5]
+
+
+def _feature_indices(total_w: int, w: int) -> np.ndarray:
+    """Column indices selecting the central (2w+1) positions' triplets from a
+    (2*total_w+1)-position feature row
+    (reference: m6anet/utils/data_utils.py:105-116)."""
+    positions = range(total_w - w, total_w + w + 1)
+    return np.array([3 * p + i for p in positions for i in range(3)], dtype=np.int64)
+
+
+def _subsequence(sequence: str, total_w: int, w: int) -> str:
+    """Central (2w+5)-mer of the stored context
+    (reference: m6anet/utils/data_utils.py:266-279)."""
+    if w < total_w:
+        return sequence[total_w - w : 2 * total_w + w + 5]
+    return sequence
+
+
+class SiteDataset:
+    """Single-run dataset (reference: NanopolishDS, data_utils.py:20-290)."""
+
+    def __init__(
+        self,
+        root_dir: str,
+        min_reads: Optional[int] = DEFAULT_MIN_READS,
+        norm_path: Optional[str] = None,
+        num_neighboring_features: int = 1,
+        mode: str = "Inference",
+        n_processes: int = 1,
+    ):
+        if mode not in ALLOWED_MODES:
+            raise ValueError(f"Invalid mode {mode!r}, must be one of {ALLOWED_MODES}")
+        if root_dir is None:
+            raise ValueError("Either root directory or data info must be given")
+        if num_neighboring_features > 5:
+            raise ValueError(f"Invalid neighboring features number {num_neighboring_features}")
+
+        self.root_dir = root_dir
+        self.min_reads = min_reads if min_reads is not None else 0
+        self.mode = mode
+        self.num_neighboring_features = num_neighboring_features
+        self.n_positions = 2 * num_neighboring_features + 1
+
+        self._initialize_data_info()
+
+        if norm_path is not None:
+            self.norm_dict: Optional[NormDict] = load_norm_factors(norm_path)
+        else:
+            self.norm_dict = self._compute_norm_factors(n_processes)
+
+        self.total_neighboring_features = self._infer_total_neighboring_features()
+        self.indices = _feature_indices(self.total_neighboring_features, num_neighboring_features)
+
+        if self.mode != "Inference":
+            self.labels = self.data_info["modification_status"].values
+
+        # train-mode read subsampling source; swap for reproducibility
+        self.rng = np.random
+
+    # -------------------------------------------------------------- init bits
+    def _initialize_data_info(self):
+        if self.mode == "Inference":
+            data_info = pd.read_csv(os.path.join(self.root_dir, "data.info"))
+        else:
+            data_info = pd.read_csv(os.path.join(self.root_dir, "data.info.labelled"))
+            data_info = data_info[data_info["set_type"] == self.mode].reset_index(drop=True)
+        self.data_fpath = os.path.join(self.root_dir, "data.json")
+        self.data_info = data_info[data_info["n_reads"] >= self.min_reads].reset_index(drop=True)
+
+    def _compute_norm_factors(self, n_processes: int) -> NormDict:
+        if len(self.data_info) == 0:
+            return {}
+        if "kmer" not in self.data_info.columns:
+            self.data_info = annotate_kmer_information(self.data_fpath, self.data_info, n_processes)
+        return compute_norm_dict(self.data_fpath, self.data_info, n_processes)
+
+    def _infer_total_neighboring_features(self) -> int:
+        if len(self.data_info) == 0:
+            return self.num_neighboring_features
+        row = self.data_info.iloc[0]
+        seq, _ = self._load_payload(
+            self.data_fpath, row["transcript_id"], row["transcript_position"], row["start"], row["end"]
+        )
+        return (len(seq) - 5) // 2
+
+    # ------------------------------------------------------------------ access
+    @staticmethod
+    def _load_payload(fpath: str, tx_id: str, tx_pos: int, start: int, end: int, handle=None):
+        if handle is None:
+            with open(fpath, "r", encoding="utf-8") as f:
+                f.seek(start)
+                raw = f.read(end - start)
+        else:
+            handle.seek(start)
+            raw = handle.read(end - start)
+        payload = json.loads(raw)[tx_id][str(int(tx_pos))]
+        assert len(payload) == 1
+        seq, features = next(iter(payload.items()))
+        return seq, np.asarray(features, dtype=np.float64)
+
+    def __len__(self) -> int:
+        return len(self.data_info)
+
+    def _site_from_payload(self, tx_id, tx_pos, seq, raw_features, label=None) -> Site:
+        read_ids = raw_features[:, -1].astype(np.int64)
+        features = raw_features[:, self.indices]
+        sub_seq = _subsequence(seq, self.total_neighboring_features, self.num_neighboring_features)
+        kmers = [sub_seq[i : i + 5] for i in range(self.n_positions)]
+
+        if self.norm_dict:
+            mean, std = site_norm_vectors(self.norm_dict, sub_seq, self.n_positions)
+            features = (features - mean) / std
+
+        kmer_ids = np.array([KMER_TO_INT[k] for k in kmers], dtype=np.int32)
+        return Site(
+            tx_id=tx_id,
+            tx_pos=int(tx_pos),
+            read_ids=read_ids,
+            features=features.astype(np.float32),
+            kmer_ids=kmer_ids,
+            sequence=sub_seq,
+            label=label,
+        )
+
+    def get_site(self, idx: int, handle=None) -> Site:
+        row = self.data_info.iloc[idx]
+        seq, raw = self._load_payload(
+            self.data_fpath, row["transcript_id"], row["transcript_position"], row["start"], row["end"], handle
+        )
+        label = None if self.mode == "Inference" else int(row["modification_status"])
+        return self._site_from_payload(row["transcript_id"], row["transcript_position"], seq, raw, label)
+
+    def iter_sites(self) -> Iterator[Site]:
+        """Stream sites in data.info order with one persistent file handle."""
+        with open(self.data_fpath, "r", encoding="utf-8") as f:
+            for idx in range(len(self)):
+                yield self.get_site(idx, handle=f)
+
+    # ------------------------------------------------------- training access
+    def sample_reads(self, site: Site) -> Tuple[np.ndarray, np.ndarray]:
+        """Sample exactly min_reads reads without replacement (train modes)
+        (reference: m6anet/utils/data_utils.py:213-214)."""
+        sel = self.rng.choice(site.n_reads, self.min_reads, replace=False)
+        return site.features[sel], np.repeat(site.kmer_ids[None, :], self.min_reads, axis=0)
+
+    def __getitem__(self, idx: int):
+        site = self.get_site(idx)
+        if self.mode == "Inference":
+            return site
+        features, kmers = self.sample_reads(site)
+        return features, kmers, site.label
+
+
+class ReplicateSiteDataset(SiteDataset):
+    """Multi-replicate dataset (reference: NanopolishReplicateDS,
+    data_utils.py:293-495): sites outer-joined on (transcript, position),
+    read counts summed, read ids suffixed with their replicate number."""
+
+    def __init__(
+        self,
+        root_dir: Sequence[str],
+        min_reads: Optional[int] = DEFAULT_MIN_READS,
+        norm_path: Optional[str] = None,
+        num_neighboring_features: int = 1,
+        mode: str = "Inference",
+        n_processes: int = 1,
+    ):
+        self.root_dirs = list(root_dir)
+        super().__init__(
+            root_dir=self.root_dirs,  # type: ignore[arg-type]
+            min_reads=min_reads,
+            norm_path=norm_path,
+            num_neighboring_features=num_neighboring_features,
+            mode=mode,
+            n_processes=n_processes,
+        )
+
+    def _initialize_data_info(self):
+        if self.mode == "Inference":
+            suffix = "data.info"
+            keys = ["transcript_id", "transcript_position"]
+        else:
+            suffix = "data.info.labelled"
+            keys = ["transcript_id", "transcript_position", "modification_status", "set_type"]
+
+        frames = [
+            pd.read_csv(os.path.join(d, suffix)).assign(fpath=d).set_index(keys) for d in self.root_dirs
+        ]
+        merged = pd.concat(frames, axis=1)
+        n_reads = merged["n_reads"].sum(axis=1).astype(int).reset_index(drop=True)
+        starts = merged["start"].apply(lambda r: [int(v) for v in r if v == v], axis=1)
+        ends = merged["end"].apply(lambda r: [int(v) for v in r if v == v], axis=1)
+        fpaths = merged["fpath"].apply(lambda r: [v for v in r if v == v], axis=1).reset_index(drop=True)
+        coords = pd.concat([starts, ends], axis=1).apply(
+            lambda r: list(zip(r.iloc[0], r.iloc[1])), axis=1
+        ).reset_index(drop=True)
+
+        info = merged.reset_index()[keys]
+        info["n_reads"] = n_reads
+        info["coords"] = coords
+        info["fpath"] = fpaths
+
+        if self.mode != "Inference":
+            info = info[info["set_type"] == self.mode]
+
+        self.data_info = info[info["n_reads"] >= self.min_reads].reset_index(drop=True)
+        self.rep_number = {d: i for i, d in enumerate(self.root_dirs)}
+        self.data_fpath = None  # sites span several files
+
+    def _infer_total_neighboring_features(self) -> int:
+        if len(self.data_info) == 0:
+            return self.num_neighboring_features
+        row = self.data_info.iloc[0]
+        start, end = row["coords"][0]
+        fpath = os.path.join(row["fpath"][0], "data.json")
+        seq, _ = self._load_payload(fpath, row["transcript_id"], row["transcript_position"], start, end)
+        return (len(seq) - 5) // 2
+
+    def _compute_norm_factors(self, n_processes: int) -> NormDict:
+        """Aggregate streaming sum/sum² across every replicate
+        (reference: m6anet/utils/data_utils.py:429-495)."""
+        if len(self.data_info) == 0:
+            return {}
+        sums: Dict[str, np.ndarray] = {}
+        sqs: Dict[str, np.ndarray] = {}
+        counts: Dict[str, int] = {}
+        for _, row in self.data_info.iterrows():
+            for (start, end), d in zip(row["coords"], row["fpath"]):
+                seq, raw = self._load_payload(
+                    os.path.join(d, "data.json"), row["transcript_id"], row["transcript_position"], start, end
+                )
+                feats = raw[:, :-1]
+                for seg in range(len(seq) - 4):
+                    kmer = seq[seg : seg + 5]
+                    sl = feats[:, 3 * seg : 3 * (seg + 1)]
+                    if kmer not in sums:
+                        sums[kmer], sqs[kmer], counts[kmer] = np.zeros(3), np.zeros(3), 0
+                    sums[kmer] += sl.sum(axis=0)
+                    sqs[kmer] += np.square(sl).sum(axis=0)
+                    counts[kmer] += len(sl)
+        out: NormDict = {}
+        for kmer in sums:
+            mean = sums[kmer] / counts[kmer]
+            out[kmer] = (mean, np.sqrt(sqs[kmer] / counts[kmer] - mean**2))
+        return out
+
+    def get_site(self, idx: int, handle=None) -> Site:
+        del handle
+        row = self.data_info.iloc[idx]
+        all_feats: List[np.ndarray] = []
+        all_reads: List[str] = []
+        seq0 = None
+        for (start, end), d in zip(row["coords"], row["fpath"]):
+            seq, raw = self._load_payload(
+                os.path.join(d, "data.json"), row["transcript_id"], row["transcript_position"], start, end
+            )
+            if seq0 is None:
+                seq0 = seq
+            else:
+                assert seq0 == seq, "replicates disagree on sequence context"
+            rep = self.rep_number[d]
+            all_feats.append(raw)
+            all_reads.extend(f"{int(r)}_{rep}" for r in raw[:, -1])
+        raw = np.concatenate(all_feats)
+        label = None if self.mode == "Inference" else int(row["modification_status"])
+        site = self._site_from_payload(row["transcript_id"], row["transcript_position"], seq0, raw, label)
+        site.read_ids = np.array(all_reads)
+        return site
+
+    def iter_sites(self) -> Iterator[Site]:
+        for idx in range(len(self)):
+            yield self.get_site(idx)
+
+
+def build_dataset(
+    root_dir: Union[str, Sequence[str]],
+    **kwargs,
+) -> SiteDataset:
+    """Dataset factory: str -> SiteDataset, list -> ReplicateSiteDataset
+    (reference: m6anet/utils/builder.py:26-49)."""
+    if isinstance(root_dir, (list, tuple)):
+        if len(root_dir) == 1:
+            raise ValueError("root_dir is a list but of size 1, please pass root_dir as a string instead")
+        return ReplicateSiteDataset(root_dir, **kwargs)
+    if isinstance(root_dir, str):
+        return SiteDataset(root_dir, **kwargs)
+    raise ValueError("Invalid type for argument root_dir")

@@ -76,15 +76,9 @@ class MILModel:
 
     def load_npz(self, path: str) -> Dict:
         """Load a converted-weights npz into the nested param tree."""
-        flat = np.load(path)
-        params: Dict = {}
-        for key in flat.files:
-            node = params
-            *parents, leaf = key.split("/")
-            for part in parents:
-                node = node.setdefault(part, {})
-            node[leaf] = np.asarray(flat[key])
-        return params
+        from ..utils.treeio import load_tree
+
+        return load_tree(path)
 
     # ------------------------------------------------------------- apply paths
     def _run(self, stage, params, x, *, train=False, rng=None):

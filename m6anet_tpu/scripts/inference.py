@@ -1,0 +1,138 @@
+"""`m6anet_tpu inference` — site/read modification probability calling.
+
+Flag parity with the reference CLI (reference: m6anet/scripts/inference.py)
+plus TPU-native knobs (--site_proba_method, --read_capacity, --site_capacity).
+--n_processes, --batch_size and --save_per_batch are accepted for
+compatibility but are no-ops: batching is capacity-based and results are
+always fully flushed.
+"""
+from __future__ import annotations
+
+import pathlib
+import warnings
+from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser
+
+from ..constants import (
+    DEFAULT_MIN_READS,
+    DEFAULT_MODEL_CONFIG,
+    DEFAULT_NORM_PATH,
+    DEFAULT_PRETRAINED_MODEL,
+    DEFAULT_PRETRAINED_MODELS,
+    DEFAULT_READ_THRESHOLD,
+    PRETRAINED_CONFIGS,
+)
+
+
+def argparser():
+    parser = ArgumentParser(formatter_class=ArgumentDefaultsHelpFormatter, add_help=False)
+    parser.add_argument("--input_dir", nargs="*", required=True,
+                        help="directories containing data.info and data.json.")
+    parser.add_argument("--out_dir", required=True,
+                        help="directory to output inference results.")
+    parser.add_argument("--pretrained_model", default=DEFAULT_PRETRAINED_MODEL, type=str,
+                        help=f"pre-trained model. Options include {DEFAULT_PRETRAINED_MODELS}.")
+    parser.add_argument("--model_config", default=DEFAULT_MODEL_CONFIG,
+                        help="path to model config file.")
+    parser.add_argument("--model_state_dict", default=None,
+                        help="path to model weights (.npz native, or a reference .pt).")
+    parser.add_argument("--norm_path", default=DEFAULT_NORM_PATH,
+                        help="path to normalization factors file (.npz or reference .joblib).")
+    parser.add_argument("--batch_size", default=16, type=int,
+                        help="compatibility no-op (batching is capacity based).")
+    parser.add_argument("--save_per_batch", default=2, type=int,
+                        help="compatibility no-op (results are always flushed).")
+    parser.add_argument("--n_processes", default=25, type=int,
+                        help="compatibility no-op (the featurized reader is sequential I/O).")
+    parser.add_argument("--num_iterations", default=1000, type=int,
+                        help="number of sampling iterations (mc mode only).")
+    parser.add_argument("--device", default="tpu", type=str,
+                        help="compatibility no-op; jax selects the platform.")
+    parser.add_argument("--seed", default=0, type=int, help="random seed for mc sampling.")
+    parser.add_argument("--read_proba_threshold", default=DEFAULT_READ_THRESHOLD, type=float,
+                        help="probability threshold for a read to be considered modified.")
+    parser.add_argument("--site_proba_method", default="exact", choices=["exact", "mc"],
+                        help="exact = closed-form noisy-OR expectation; "
+                             "mc = on-device emulation of the reference's sampling estimator.")
+    parser.add_argument("--read_capacity", default=16384, type=int,
+                        help="reads per device batch (static shape).")
+    parser.add_argument("--site_capacity", default=256, type=int,
+                        help="sites per device batch (static shape).")
+    parser.add_argument("--min_reads", default=DEFAULT_MIN_READS, type=int,
+                        help="minimum reads for a site to be scored.")
+    return parser
+
+
+def load_weights(model, path: str):
+    """Load .npz native weights, or convert a reference torch .pt on the fly."""
+    if path.endswith(".pt"):
+        import torch  # conversion-time only; jax backend must already be up
+
+        sd = {k: v.numpy() for k, v in torch.load(path, map_location="cpu").items()
+              if hasattr(v, "numpy")}
+        return {
+            "block1": {"embedding": sd["read_level_encoder.1.embedding_layer.weight"]},
+            "block3": {
+                "w": sd["read_level_encoder.3.layers.0.weight"].T,
+                "b": sd["read_level_encoder.3.layers.0.bias"],
+                "bn_scale": sd["read_level_encoder.3.layers.1.weight"],
+                "bn_bias": sd["read_level_encoder.3.layers.1.bias"],
+                "bn_mean": sd["read_level_encoder.3.layers.1.running_mean"],
+                "bn_var": sd["read_level_encoder.3.layers.1.running_var"],
+            },
+            "block4": {
+                "w": sd["read_level_encoder.4.layers.0.weight"].T,
+                "b": sd["read_level_encoder.4.layers.0.bias"],
+            },
+            "block5": {
+                "w": sd["pooling_filter.probability_layer.0.weight"].T,
+                "b": sd["pooling_filter.probability_layer.0.bias"],
+            },
+        }
+    return model.load_npz(path)
+
+
+def main(args):
+    import tomllib
+
+    import jax
+
+    jax.devices()  # initialise the backend before any torch import
+
+    from ..data.dataset import build_dataset
+    from ..inference.engine import run_inference
+    from ..models.mil import MILModel
+
+    if args.model_state_dict is not None:
+        warnings.warn("--model_state_dict is specified, overwriting default model weights")
+        norm_path = args.norm_path
+        threshold = args.read_proba_threshold
+    else:
+        if args.pretrained_model not in PRETRAINED_CONFIGS:
+            raise ValueError(
+                f"Invalid pretrained model {args.pretrained_model}, must be one of {DEFAULT_PRETRAINED_MODELS}"
+            )
+        args.model_state_dict, threshold, norm_path = PRETRAINED_CONFIGS[args.pretrained_model]
+
+    with open(args.model_config, "rb") as f:
+        model_config = tomllib.load(f)
+    model = MILModel(model_config)
+    params = load_weights(model, args.model_state_dict)
+
+    pathlib.Path(args.out_dir).mkdir(parents=True, exist_ok=True)
+
+    input_dir = args.input_dir
+    root_dir = input_dir[0] if len(input_dir) == 1 else list(input_dir)
+    dataset = build_dataset(root_dir, min_reads=args.min_reads, norm_path=norm_path, mode="Inference")
+
+    run_inference(
+        model,
+        params,
+        dataset,
+        args.out_dir,
+        read_proba_threshold=threshold,
+        num_iterations=args.num_iterations,
+        method=args.site_proba_method,
+        seed=args.seed,
+        read_capacity=args.read_capacity,
+        site_capacity=args.site_capacity,
+    )

@@ -1,0 +1,145 @@
+"""`m6anet_tpu train` — train an m6A MIL model from TOML configs.
+
+Flag parity with the reference CLI (reference: m6anet/scripts/train.py) plus
+``--clip_grad`` and ``--resume_epoch`` (the reference's training engine has an
+``epoch_increment`` resume hook that its CLI never exposes —
+reference: m6anet/utils/training_utils.py:67).
+"""
+from __future__ import annotations
+
+import json
+import os
+from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser
+
+from ..constants import DEFAULT_MODEL_CONFIG
+
+
+def argparser():
+    parser = ArgumentParser(formatter_class=ArgumentDefaultsHelpFormatter, add_help=False)
+    parser.add_argument("--model_config", default=DEFAULT_MODEL_CONFIG, help="path to model config file.")
+    parser.add_argument("--train_config", required=True, help="path to training config file.")
+    parser.add_argument("--save_dir", required=True, help="directory to output training results.")
+    parser.add_argument("--device", default="tpu", type=str,
+                        help="compatibility no-op; jax selects the platform.")
+    parser.add_argument("--lr", default=4e-4, type=float, help="training learning rate.")
+    parser.add_argument("--seed", default=25, type=int, help="random seed for training.")
+    parser.add_argument("--epochs", default=50, type=int, help="number of training epochs.")
+    parser.add_argument("--n_processes", default=25, type=int,
+                        help="number of loader threads.")
+    parser.add_argument("--save_per_epoch", default=10, type=int,
+                        help="number of epoch multiple to save training checkpoint.")
+    parser.add_argument("--weight_decay", default=0, type=float,
+                        help="weight decay (classic L2, torch-Adam semantics).")
+    parser.add_argument("--num_iterations", default=5, type=int,
+                        help="number of passes during evaluation step.")
+    parser.add_argument("--clip_grad", default=None, type=float,
+                        help="optional global-norm gradient clipping.")
+    parser.add_argument("--resume_epoch", default=0, type=int,
+                        help="epoch offset when resuming from a checkpoint.")
+    parser.add_argument("--resume_from", default=None,
+                        help="checkpoint .npz to resume parameters from.")
+    return parser
+
+
+def main(args):
+    import jax
+
+    jax.devices()  # initialise backend first (see tests/conftest.py note)
+
+    import numpy as np
+
+    from ..models.mil import MILModel
+    from ..train.builder import build_dataloader, build_loss_function
+    from ..train.loop import make_eval_step, make_optimizer, train, validate
+    from ..utils.config import dump_toml, load_toml
+    from ..utils.treeio import load_tree, save_tree
+
+    np.random.seed(args.seed)
+
+    model_config = load_toml(args.model_config)
+    train_config = load_toml(args.train_config)
+
+    save_dir = args.save_dir
+    print(f"Saving training information to {save_dir}")
+    os.makedirs(save_dir, exist_ok=True)
+
+    train_info = {
+        "model_config": model_config,
+        "train_config": {
+            **train_config,
+            "learning_rate": args.lr,
+            "epochs": args.epochs,
+            "save_per_epoch": args.save_per_epoch,
+            "weight_decay": args.weight_decay,
+            "number_of_validation_iterations": args.num_iterations,
+            "seed": args.seed,
+        },
+    }
+    dump_toml(train_info, os.path.join(save_dir, "train_info.toml"))
+
+    model = MILModel(model_config)
+    if args.resume_from:
+        params = load_tree(args.resume_from)
+    else:
+        params = model.init(jax.random.PRNGKey(args.seed))
+
+    train_dl, val_dl, test_dl = build_dataloader(train_config, args.n_processes)
+
+    optimizer = make_optimizer(args.lr, args.weight_decay, args.clip_grad)
+    loss_fn = build_loss_function(dict(train_config["loss_function"]))
+
+    params, train_results, val_results = train(
+        model,
+        params,
+        train_dl,
+        val_dl,
+        optimizer,
+        args.epochs,
+        loss_fn,
+        save_dir=save_dir,
+        save_per_epoch=args.save_per_epoch,
+        epoch_increment=args.resume_epoch,
+        n_iterations=args.num_iterations,
+        seed=args.seed,
+    )
+
+    def _dump_results(results, path):
+        clean = {
+            k: [v.tolist() if hasattr(v, "tolist") else v for v in vals]
+            for k, vals in results.items()
+            if k not in ("y_pred", "y_true")
+        }
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(clean, f, indent=2)
+
+    _dump_results(train_results, os.path.join(save_dir, "train_results.json"))
+    _dump_results(val_results, os.path.join(save_dir, "val_results.json"))
+
+    # Best-model selection per criterion over saved checkpoints + test eval
+    # (reference: m6anet/scripts/train.py:107-131).
+    eval_step = make_eval_step(model, loss_fn)
+    for criterion in ("avg_loss", "roc_auc", "pr_auc"):
+        series = [
+            val_results[criterion][i]
+            for i in range(0, len(val_results[criterion]), args.save_per_epoch)
+        ]
+        if criterion == "avg_loss":
+            best_epoch = (int(np.argmin(series)) + 1) * args.save_per_epoch
+        else:
+            best_epoch = (int(np.argmax(series)) + 1) * args.save_per_epoch
+        ckpt = os.path.join(save_dir, "model_states", str(best_epoch), "model_states.npz")
+        best_params = load_tree(ckpt)
+        save_tree(os.path.join(save_dir, f"{criterion}.npz"), best_params)
+
+        test_results = validate(eval_step, best_params, test_dl, loss_fn, args.num_iterations)
+        print(f"Criteria: {criterion} \tCompute time: {test_results['compute_time']:.3f}")
+        print(
+            f"Test Loss: {test_results['avg_loss']:.3f} \t"
+            f"Test ROC AUC: {test_results['roc_auc']:.3f} \t "
+            f"Test PR AUC: {test_results['pr_auc']:.3f}"
+        )
+        print("=====================================")
+        _dump_results(
+            {k: [v] for k, v in test_results.items() if k not in ("y_pred", "y_true")},
+            os.path.join(save_dir, f"test_results_{criterion}.json"),
+        )

@@ -1,0 +1,203 @@
+"""Training engine: optax optimisation of the MIL model.
+
+Capability parity with the reference training loop
+(reference: m6anet/utils/training_utils.py:61-268): epoch loop with per-epoch
+validation, optional global-norm gradient clipping, checkpointing every
+``save_per_epoch`` epochs, and n-iteration resampled validation averaging —
+re-designed as one jitted train step (forward + backward + Adam update +
+BatchNorm running-stat refresh in a single XLA program).
+
+torch-Adam semantics are preserved: weight decay is classic L2 added to the
+gradient *before* the Adam moments (torch.optim.Adam), not AdamW-style
+decoupled decay; gradient clipping is applied to raw gradients first
+(reference: training_utils.py:181-183).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..utils.treeio import save_tree
+from .metrics import get_pr_auc, get_roc_auc
+
+NON_TRAINABLE_KEYS = ("bn_mean", "bn_var")
+
+
+def _is_trainable(path) -> bool:
+    leaf_key = path[-1]
+    name = getattr(leaf_key, "key", getattr(leaf_key, "idx", None))
+    return name not in NON_TRAINABLE_KEYS
+
+
+def trainable_mask(params):
+    """Pytree mask: True for trainable leaves, False for BN running stats."""
+    return jax.tree_util.tree_map_with_path(lambda p, _: _is_trainable(p), params)
+
+
+def make_optimizer(lr: float, weight_decay: float = 0.0, clip_grad: Optional[float] = None):
+    chain = []
+    if clip_grad is not None:
+        chain.append(optax.clip_by_global_norm(clip_grad))
+    if weight_decay:
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    chain.append(optax.scale(-lr))
+    return optax.chain(*chain)
+
+
+def _merge_updates(params, updates):
+    """Overwrite BN running stats returned by a train-mode forward."""
+    merged = dict(params)
+    for block_key, upd in updates.items():
+        merged[block_key] = {**merged.get(block_key, {}), **upd}
+    return merged
+
+
+def make_train_step(model, loss_fn: Callable, optimizer):
+    """One fused device step: grads, Adam update, BN stat refresh."""
+
+    @jax.jit
+    def step(params, opt_state, batch, rng):
+        mask = trainable_mask(params)
+
+        def objective(p):
+            pred, updates = model.site_probability(
+                p, {"X": batch["X"], "kmer": batch["kmer"]}, train=True, rng=rng
+            )
+            return loss_fn(pred, batch["y"]), (pred, updates)
+
+        (loss, (pred, bn_updates)), grads = jax.value_and_grad(objective, has_aux=True)(params)
+        grads = jax.tree.map(lambda g, m: g if m else jnp.zeros_like(g), grads, mask)
+        opt_updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, opt_updates)
+        params = _merge_updates(params, bn_updates)
+        return params, opt_state, loss, pred
+
+    return step
+
+
+def make_eval_step(model, loss_fn: Callable):
+    @jax.jit
+    def step(params, batch):
+        pred, _ = model.site_probability(params, {"X": batch["X"], "kmer": batch["kmer"]}, train=False)
+        return loss_fn(pred, batch["y"]), pred
+
+    return step
+
+
+def train_one_epoch(step, params, opt_state, train_loader, rng) -> Tuple:
+    """(reference: m6anet/utils/training_utils.py:148-210)."""
+    losses = []
+    y_true, y_pred = [], []
+    start = time.time()
+    for batch in train_loader:
+        rng, step_rng = jax.random.split(rng)
+        params, opt_state, loss, pred = step(params, opt_state, batch, step_rng)
+        losses.append(loss)
+        y_true.append(batch["y"])
+        y_pred.append(np.asarray(pred).reshape(-1))
+    y_true = np.concatenate(y_true)
+    y_pred = np.concatenate(y_pred)
+    results = {
+        "compute_time": time.time() - start,
+        "avg_loss": float(np.mean([float(l) for l in losses])),
+        "roc_auc": get_roc_auc(y_true, y_pred),
+        "pr_auc": get_pr_auc(y_true, y_pred),
+    }
+    return params, opt_state, rng, results
+
+
+def validate(eval_step, params, val_loader, loss_fn, n_iterations: int = 1) -> Dict:
+    """n-pass resampled validation with prediction averaging
+    (reference: m6anet/utils/training_utils.py:213-268; the loss is computed
+    on the *averaged* predictions, as there)."""
+    start = time.time()
+    all_y_true = None
+    all_preds = []
+    for _ in range(n_iterations):
+        y_true_pass, y_pred_pass = [], []
+        for batch in val_loader:
+            _, pred = eval_step(params, batch)
+            if all_y_true is None:
+                y_true_pass.append(batch["y"])
+            y_pred_pass.append(np.asarray(pred).reshape(-1))
+        if all_y_true is None:
+            all_y_true = np.concatenate(y_true_pass)
+        all_preds.append(np.concatenate(y_pred_pass))
+    y_pred_avg = np.mean(all_preds, axis=0)
+    results = {
+        "y_pred": all_preds,
+        "y_true": all_y_true,
+        "compute_time": time.time() - start,
+        "roc_auc": get_roc_auc(all_y_true, y_pred_avg),
+        "pr_auc": get_pr_auc(all_y_true, y_pred_avg),
+        "avg_loss": float(loss_fn(jnp.asarray(y_pred_avg), jnp.asarray(all_y_true))),
+    }
+    return results
+
+
+def train(
+    model,
+    params,
+    train_loader,
+    val_loader,
+    optimizer,
+    n_epoch: int,
+    loss_fn: Callable,
+    save_dir: Optional[str] = None,
+    clip_grad: Optional[float] = None,  # folded into optimizer; kept for API parity
+    save_per_epoch: int = 10,
+    epoch_increment: int = 0,
+    n_iterations: int = 1,
+    seed: int = 0,
+) -> Tuple[Dict, Dict]:
+    """Full training run (reference: m6anet/utils/training_utils.py:61-145)."""
+    del clip_grad
+    assert save_per_epoch <= n_epoch
+
+    step = make_train_step(model, loss_fn, optimizer)
+    eval_step = make_eval_step(model, loss_fn)
+    opt_state = optimizer.init(params)
+    rng = jax.random.PRNGKey(seed)
+
+    total_time = 0.0
+    train_results: Dict = {}
+    val_results: Dict = {}
+
+    for epoch in range(1, n_epoch + 1):
+        params, opt_state, rng, tr = train_one_epoch(step, params, opt_state, train_loader, rng)
+        vr = validate(eval_step, params, val_loader, loss_fn, n_iterations)
+        total_time += tr["compute_time"] + vr["compute_time"]
+
+        print(
+            f"Epoch:[{epoch + epoch_increment}/{n_epoch + epoch_increment}] \t "
+            f"train time:{tr['compute_time']:.0f}s \t "
+            f"val time:{vr['compute_time']:.0f}s \t ({total_time:.0f}s)"
+        )
+        print(
+            f"Train Loss:{tr['avg_loss']:.2f}\t "
+            f"Train ROC AUC: {tr['roc_auc']:.3f}\t Train PR AUC: {tr['pr_auc']:.3f}"
+        )
+        print(
+            f"Val Loss:{vr['avg_loss']:.2f} \t "
+            f"Val ROC AUC: {vr['roc_auc']:.3f}\t Val PR AUC: {vr['pr_auc']:.3f}"
+        )
+        print("=====================================")
+
+        for key, val in tr.items():
+            train_results.setdefault(key, []).append(val)
+        for key, val in vr.items():
+            val_results.setdefault(key, []).append(val)
+
+        if save_dir is not None and (epoch + epoch_increment) % save_per_epoch == 0:
+            save_path = os.path.join(save_dir, "model_states", str(epoch + epoch_increment))
+            os.makedirs(save_path, exist_ok=True)
+            save_tree(os.path.join(save_path, "model_states.npz"), jax.device_get(params))
+
+    return params, train_results, val_results

@@ -1,0 +1,60 @@
+"""Loss functions (reference: m6anet/utils/loss_functions/loss_functions.py).
+
+Registered by name for the TOML ``[loss_function]`` contract
+(reference: m6anet/utils/builder.py:93-110).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# torch.nn.BCELoss clamps each log term at -100 for stability; match it.
+_LOG_CLAMP = -100.0
+
+
+def _bce_elementwise(y_pred, y_true):
+    y_pred = y_pred.reshape(-1)
+    y_true = y_true.reshape(-1).astype(y_pred.dtype)
+    log_p = jnp.maximum(jnp.log(y_pred), _LOG_CLAMP)
+    log_1mp = jnp.maximum(jnp.log1p(-y_pred), _LOG_CLAMP)
+    return -(y_true * log_p + (1.0 - y_true) * log_1mp)
+
+
+def binary_cross_entropy_loss(y_pred, y_true):
+    """Plain BCE on probabilities
+    (reference: loss_functions.py:8-20)."""
+    return jnp.mean(_bce_elementwise(y_pred, y_true))
+
+
+def weighted_binary_cross_entropy_loss(y_pred, y_true):
+    """Inverse-class-frequency weighted BCE: label-0 samples weighted by the
+    positive count and label-1 samples by the negative count
+    (reference: loss_functions.py:23-39, whose tuple unpacking of sorted
+    unique counts produces exactly this pairing)."""
+    y_true_f = y_true.reshape(-1).astype(y_pred.dtype)
+    n_pos = jnp.sum(y_true_f)
+    n_neg = y_true_f.size - n_pos
+    weights = jnp.where(y_true_f == 0, n_pos, n_neg)
+    return jnp.mean(_bce_elementwise(y_pred, y_true) * weights)
+
+
+LOSS_REGISTRY = {
+    "binary_cross_entropy_loss": binary_cross_entropy_loss,
+    "weighted_binary_cross_entropy_loss": weighted_binary_cross_entropy_loss,
+}
+
+
+def build_loss_function(config: dict):
+    """Resolve ``loss_function_type`` (+ extra kwargs) from a train config
+    (reference: m6anet/utils/builder.py:93-110)."""
+    config = dict(config)
+    if "loss_function_type" not in config:
+        raise ValueError("Config must specify loss_function_type")
+    name = config.pop("loss_function_type")
+    if name not in LOSS_REGISTRY:
+        raise ValueError(f"Unknown loss function {name!r}; available: {sorted(LOSS_REGISTRY)}")
+    fn = LOSS_REGISTRY[name]
+    if config:
+        import functools
+
+        fn = functools.partial(fn, **config)
+    return fn

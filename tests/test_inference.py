@@ -1,0 +1,128 @@
+"""Golden-contract inference tests (same tolerances as the reference suite:
+indiv_proba tight, mod_ratio exact, site_proba atol=1e-2 —
+reference: m6anet/tests/test_inference.py)."""
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from m6anet_tpu.constants import DEFAULT_MIN_READS, PRETRAINED_CONFIGS
+from m6anet_tpu.data.dataset import build_dataset
+from m6anet_tpu.inference.engine import run_inference
+
+DATA_DIR = "/root/reference/m6anet/tests/data"
+
+
+@pytest.fixture(scope="module")
+def inference_out(tmp_path_factory, production_model):
+    out = tmp_path_factory.mktemp("inference_out")
+    model, params = production_model
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    ds = build_dataset(DATA_DIR, min_reads=DEFAULT_MIN_READS, norm_path=norm, mode="Inference")
+    run_inference(model, params, ds, str(out), read_proba_threshold=thr, method="exact")
+    return str(out)
+
+
+def _sorted(df, cols):
+    return df.sort_values(cols).reset_index(drop=True)
+
+
+def test_inference_matches_golden(inference_out, golden_indiv_proba, golden_site_proba):
+    got_i = _sorted(
+        pd.read_csv(os.path.join(inference_out, "data.indiv_proba.csv")),
+        ["transcript_id", "transcript_position", "read_index"],
+    )
+    want_i = _sorted(
+        pd.read_csv(golden_indiv_proba), ["transcript_id", "transcript_position", "read_index"]
+    )
+    assert (got_i["transcript_id"] == want_i["transcript_id"]).all()
+    assert (got_i["transcript_position"] == want_i["transcript_position"]).all()
+    assert (got_i["read_index"] == want_i["read_index"]).all()
+    np.testing.assert_allclose(
+        got_i["probability_modified"], want_i["probability_modified"], atol=1e-5
+    )
+
+    got_s = _sorted(
+        pd.read_csv(os.path.join(inference_out, "data.site_proba.csv")),
+        ["transcript_id", "transcript_position"],
+    )
+    want_s = _sorted(pd.read_csv(golden_site_proba), ["transcript_id", "transcript_position"])
+    assert (got_s["transcript_id"] == want_s["transcript_id"]).all()
+    assert (got_s["n_reads"] == want_s["n_reads"]).all()
+    assert (got_s["kmer"] == want_s["kmer"]).all()
+    np.testing.assert_allclose(got_s["mod_ratio"], want_s["mod_ratio"], atol=1e-6)
+    np.testing.assert_allclose(
+        got_s["probability_modified"], want_s["probability_modified"], atol=1e-2
+    )
+
+
+def test_mc_mode_agrees_with_exact(production_model, tmp_path):
+    """On-device MC sampling converges to the closed form."""
+    model, params = production_model
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    ds = build_dataset(DATA_DIR, min_reads=DEFAULT_MIN_READS, norm_path=norm, mode="Inference")
+    run_inference(
+        model, params, ds, str(tmp_path), read_proba_threshold=thr, method="mc", num_iterations=2000
+    )
+    got = pd.read_csv(os.path.join(tmp_path, "data.site_proba.csv"))
+    want = _sorted(pd.read_csv(os.path.join(DATA_DIR, "data.site_proba.csv.gz")),
+                   ["transcript_id", "transcript_position"])
+    got = _sorted(got, ["transcript_id", "transcript_position"])
+    np.testing.assert_allclose(
+        got["probability_modified"], want["probability_modified"], atol=1.5e-2
+    )
+
+
+def test_mc_mode_deterministic(production_model, tmp_path):
+    """Counter-based keys: same seed -> bit-identical MC output (the
+    reference's mp.Pool sampling cannot guarantee this, SURVEY.md §4)."""
+    model, params = production_model
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    ds = build_dataset(DATA_DIR, min_reads=DEFAULT_MIN_READS, norm_path=norm, mode="Inference")
+    for sub in ("a", "b"):
+        run_inference(
+            model, params, ds, str(tmp_path / sub), read_proba_threshold=thr,
+            method="mc", num_iterations=100, seed=7,
+        )
+    a = pd.read_csv(tmp_path / "a" / "data.site_proba.csv")
+    b = pd.read_csv(tmp_path / "b" / "data.site_proba.csv")
+    np.testing.assert_array_equal(a["probability_modified"], b["probability_modified"])
+
+
+def test_inference_replicates(production_model, tmp_path, golden_indiv_proba, golden_site_proba):
+    """Duplicate the demo dataset as a fake second replicate
+    (reference: m6anet/tests/test_inference.py:40-82)."""
+    model, params = production_model
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    rep = tmp_path / "rep1"
+    rep.mkdir()
+    shutil.copyfile(os.path.join(DATA_DIR, "data.info"), rep / "data.info")
+    shutil.copyfile(os.path.join(DATA_DIR, "data.json"), rep / "data.json")
+
+    out = tmp_path / "out"
+    ds = build_dataset([DATA_DIR, str(rep)], min_reads=DEFAULT_MIN_READS, norm_path=norm, mode="Inference")
+    run_inference(model, params, ds, str(out), read_proba_threshold=thr, method="exact")
+
+    indiv = pd.read_csv(out / "data.indiv_proba.csv")
+    indiv["rep_num"] = indiv["read_index"].apply(lambda x: x.split("_")[1]).astype(int)
+    indiv["read_index"] = indiv["read_index"].apply(lambda x: x.split("_")[0]).astype(int)
+
+    rep0 = _sorted(indiv[indiv.rep_num == 0], ["transcript_id", "transcript_position", "read_index"])
+    rep1 = _sorted(indiv[indiv.rep_num == 1], ["transcript_id", "transcript_position", "read_index"])
+    assert (rep0["read_index"].values == rep1["read_index"].values).all()
+    np.testing.assert_allclose(rep0["probability_modified"], rep1["probability_modified"])
+
+    want = pd.read_csv(golden_indiv_proba).rename({"probability_modified": "gt"}, axis=1)
+    merged = rep0.merge(want, on=["transcript_id", "transcript_position", "read_index"])
+    assert len(merged) == len(want)
+    np.testing.assert_allclose(merged["probability_modified"], merged["gt"], atol=1e-5)
+
+    site = pd.read_csv(out / "data.site_proba.csv")
+    want_s = pd.read_csv(golden_site_proba).rename(
+        {"probability_modified": "gt", "mod_ratio": "gt_mod_ratio"}, axis=1
+    )
+    merged_s = site.merge(want_s, on=["transcript_id", "transcript_position"])
+    np.testing.assert_allclose(merged_s["mod_ratio"], merged_s["gt_mod_ratio"], atol=1e-6)
+    np.testing.assert_allclose(merged_s["probability_modified"], merged_s["gt"], atol=1e-2)

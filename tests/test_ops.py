@@ -1,0 +1,96 @@
+"""Unit tests for the device-side site aggregation ops and the fused encoder
+kernel (interpret mode on CPU; real-hardware parity is exercised by bench)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from m6anet_tpu.ops import site_ops
+
+
+def _random_site_layout(rng, n_sites, site_capacity, read_capacity):
+    counts = np.zeros(site_capacity, np.int32)
+    offsets = np.zeros(site_capacity, np.int32)
+    site_ids = np.full(read_capacity, site_capacity, np.int32)
+    cursor = 0
+    for s in range(n_sites):
+        n = int(rng.integers(5, 40))
+        counts[s] = n
+        offsets[s] = cursor
+        site_ids[cursor : cursor + n] = s
+        cursor += n
+    p = rng.uniform(0, 0.5, size=read_capacity).astype(np.float32)
+    return p, site_ids, offsets, counts, cursor
+
+
+def test_exact_site_probability_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    site_capacity, read_capacity, n_sites = 16, 1024, 10
+    p, site_ids, offsets, counts, _ = _random_site_layout(rng, n_sites, site_capacity, read_capacity)
+
+    got = np.asarray(
+        site_ops.site_probability_exact(
+            jnp.asarray(p), jnp.asarray(site_ids), jnp.asarray(counts), site_capacity, 20
+        )
+    )
+    for s in range(n_sites):
+        ps = p[offsets[s] : offsets[s] + counts[s]]
+        want = 1 - np.mean(1 - ps) ** 20
+        assert abs(got[s] - want) < 1e-6
+
+
+def test_mod_ratio_matches_bruteforce():
+    rng = np.random.default_rng(1)
+    site_capacity, read_capacity, n_sites = 16, 1024, 10
+    p, site_ids, offsets, counts, _ = _random_site_layout(rng, n_sites, site_capacity, read_capacity)
+    thr = 0.25
+    got = np.asarray(
+        site_ops.mod_ratio_exact(
+            jnp.asarray(p), jnp.asarray(site_ids), jnp.asarray(counts), site_capacity, thr
+        )
+    )
+    for s in range(n_sites):
+        ps = p[offsets[s] : offsets[s] + counts[s]]
+        assert abs(got[s] - np.mean(ps >= thr)) < 1e-6
+
+
+def test_mc_converges_to_exact():
+    rng = np.random.default_rng(2)
+    site_capacity, read_capacity, n_sites = 8, 512, 6
+    p, site_ids, offsets, counts, _ = _random_site_layout(rng, n_sites, site_capacity, read_capacity)
+
+    keys = site_ops.make_site_keys(jax.random.PRNGKey(0), jnp.arange(site_capacity))
+    mc = np.asarray(
+        site_ops.site_probability_mc(
+            jnp.asarray(p), jnp.asarray(offsets), jnp.asarray(counts), keys, n_iters=4000
+        )
+    )
+    exact = np.asarray(
+        site_ops.site_probability_exact(
+            jnp.asarray(p), jnp.asarray(site_ids), jnp.asarray(counts), site_capacity, 20
+        )
+    )
+    np.testing.assert_allclose(mc[:n_sites], exact[:n_sites], atol=2e-2)
+
+
+def test_site_keys_are_placement_invariant():
+    base = jax.random.PRNGKey(3)
+    a = site_ops.make_site_keys(base, jnp.asarray([5, 9]))
+    b = site_ops.make_site_keys(base, jnp.asarray([9, 5]))
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[1]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[0]))
+
+
+def test_fused_kernel_interpret_matches_model(production_model):
+    from m6anet_tpu.ops.encoder_kernel import fused_read_probability, prepare_fused_params
+
+    model, params = production_model
+    fp = prepare_fused_params(params)
+    rng = np.random.default_rng(4)
+    n = 512
+    X = rng.normal(size=(n, 9)).astype(np.float32)
+    K = rng.integers(0, 66, size=(n, 3)).astype(np.int32)
+    want = np.asarray(model.per_read_probability(params, {"X": jnp.asarray(X), "kmer": jnp.asarray(K)}))
+    got = np.asarray(
+        fused_read_probability(fp, jnp.asarray(X), jnp.asarray(K), block_reads=256, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)

@@ -1,0 +1,66 @@
+"""Multi-device (8 virtual CPU devices) sharding tests: the sharded inference
+path must produce the same CSVs as single-device, and the full training step
+must compile and run over a dp mesh (the reference has no distributed path at
+all — SURVEY.md §2.2)."""
+import os
+import sys
+
+import filecmp
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from m6anet_tpu.constants import DEFAULT_MIN_READS, PRETRAINED_CONFIGS
+from m6anet_tpu.data.dataset import build_dataset
+from m6anet_tpu.inference.engine import run_inference
+
+DATA_DIR = "/root/reference/m6anet/tests/data"
+
+
+def test_sharded_inference_matches_single_device(production_model, tmp_path):
+    model, params = production_model
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    ds = build_dataset(DATA_DIR, min_reads=DEFAULT_MIN_READS, norm_path=norm, mode="Inference")
+
+    run_inference(model, params, ds, str(tmp_path / "mesh"), read_proba_threshold=thr,
+                  use_mesh=True)
+    run_inference(model, params, ds, str(tmp_path / "single"), read_proba_threshold=thr,
+                  use_mesh=False)
+
+    for name in ("data.site_proba.csv", "data.indiv_proba.csv"):
+        a = pd.read_csv(tmp_path / "mesh" / name)
+        b = pd.read_csv(tmp_path / "single" / name)
+        np.testing.assert_allclose(
+            a["probability_modified"], b["probability_modified"], atol=1e-6
+        )
+
+
+def test_dryrun_multichip():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import jax
+
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    out = jax.jit(fn)(*args) if not hasattr(fn, "lower") else fn(*args)
+    jax.block_until_ready(out)
+
+
+def test_host_shard_bounds():
+    from m6anet_tpu.parallel.mesh import host_shard_bounds
+
+    spans = [host_shard_bounds(10, 4, h) for h in range(4)]
+    assert spans[0] == (0, 3)
+    assert spans[-1][1] == 10
+    covered = []
+    for s, e in spans:
+        covered.extend(range(s, e))
+    assert covered == list(range(10))

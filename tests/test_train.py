@@ -1,0 +1,146 @@
+"""Training-engine tests: losses, samplers, tree serialisation, and a short
+end-to-end training run on the demo labelled dataset (the reference suite has
+no training tests at all — SURVEY.md §4)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m6anet_tpu.constants import DEFAULT_NORM_PATH
+
+DATA_DIR = "/root/reference/m6anet/tests/data"
+
+
+def test_bce_matches_torch_semantics():
+    import torch
+
+    from m6anet_tpu.train.losses import binary_cross_entropy_loss, weighted_binary_cross_entropy_loss
+
+    rng = np.random.default_rng(0)
+    y_pred = rng.uniform(0.01, 0.99, size=32).astype(np.float32)
+    y_true = rng.integers(0, 2, size=32).astype(np.float32)
+
+    ours = float(binary_cross_entropy_loss(jnp.asarray(y_pred), jnp.asarray(y_true)))
+    theirs = float(torch.nn.BCELoss()(torch.tensor(y_pred), torch.tensor(y_true)))
+    assert abs(ours - theirs) < 1e-6
+
+    # weighted: label-0 -> n_pos, label-1 -> n_neg (inverse-frequency pairing)
+    n_pos, n_neg = y_true.sum(), len(y_true) - y_true.sum()
+    w = np.where(y_true == 0, n_pos, n_neg)
+    expected = float(
+        (torch.nn.BCELoss(reduction="none")(torch.tensor(y_pred), torch.tensor(y_true)) * torch.tensor(w)).mean()
+    )
+    ours_w = float(weighted_binary_cross_entropy_loss(jnp.asarray(y_pred), jnp.asarray(y_true)))
+    assert abs(ours_w - expected) < 1e-4
+
+
+def test_treeio_roundtrip(tmp_path):
+    from m6anet_tpu.utils.treeio import load_tree, save_tree
+
+    tree = {
+        "block1": {"embedding": np.arange(6, dtype=np.float32).reshape(3, 2)},
+        "block5": {"layers": [{"w": np.ones((2, 2))}, {"w": np.zeros((2, 1))}]},
+    }
+    path = os.path.join(tmp_path, "t.npz")
+    save_tree(path, tree)
+    back = load_tree(path)
+    assert isinstance(back["block5"]["layers"], list)
+    np.testing.assert_array_equal(back["block1"]["embedding"], tree["block1"]["embedding"])
+    np.testing.assert_array_equal(back["block5"]["layers"][1]["w"], tree["block5"]["layers"][1]["w"])
+
+
+@pytest.fixture(scope="module")
+def train_datasets():
+    from m6anet_tpu.data.dataset import SiteDataset
+
+    common = dict(root_dir=DATA_DIR, min_reads=20, norm_path=DEFAULT_NORM_PATH)
+    return (
+        SiteDataset(**common, mode="Train"),
+        SiteDataset(**common, mode="Val"),
+    )
+
+
+def test_samplers_balance(train_datasets):
+    from m6anet_tpu.data.samplers import (
+        ImbalanceKmerOverSampler,
+        ImbalanceKmerUnderSampler,
+        ImbalanceOverSampler,
+        ImbalanceUnderSampler,
+    )
+
+    train_ds, _ = train_datasets
+    labels = np.asarray(train_ds.labels)
+
+    under = ImbalanceUnderSampler(train_ds)
+    idx = np.fromiter(iter(under), dtype=int)
+    assert len(idx) == len(under)
+    counts = np.bincount(labels[idx])
+    assert counts[0] == counts[1]
+
+    over = ImbalanceOverSampler(train_ds)
+    idx = np.fromiter(iter(over), dtype=int)
+    assert len(idx) == len(over)
+    counts = np.bincount(labels[idx])
+    assert counts[0] == counts[1]
+
+    for cls in (ImbalanceKmerUnderSampler, ImbalanceKmerOverSampler):
+        sampler = cls(train_ds)
+        idx = np.fromiter(iter(sampler), dtype=int)
+        assert len(idx) == len(sampler) > 0
+
+
+def test_training_learns(train_datasets, tmp_path):
+    from m6anet_tpu.data.loader import TrainLoader
+    from m6anet_tpu.models.mil import MILModel
+    from m6anet_tpu.train.loop import make_optimizer, train
+    from m6anet_tpu.train.losses import binary_cross_entropy_loss
+    from m6anet_tpu.utils.config import load_toml
+    from m6anet_tpu.constants import DEFAULT_MODEL_CONFIG
+
+    train_ds, val_ds = train_datasets
+    train_ds.rng = np.random.RandomState(0)
+    val_ds.rng = np.random.RandomState(1)
+
+    model = MILModel(load_toml(DEFAULT_MODEL_CONFIG))
+    params = model.init(jax.random.PRNGKey(0))
+
+    train_dl = TrainLoader(train_ds, batch_size=32, shuffle=True, num_workers=2)
+    val_dl = TrainLoader(val_ds, batch_size=32, num_workers=2)
+
+    optimizer = make_optimizer(lr=4e-3, weight_decay=1e-5, clip_grad=5.0)
+    params, train_results, val_results = train(
+        model,
+        params,
+        train_dl,
+        val_dl,
+        optimizer,
+        n_epoch=4,
+        loss_fn=binary_cross_entropy_loss,
+        save_dir=str(tmp_path),
+        save_per_epoch=2,
+        n_iterations=2,
+        seed=0,
+    )
+    assert len(train_results["avg_loss"]) == 4
+    assert np.isfinite(train_results["avg_loss"]).all()
+    assert train_results["avg_loss"][-1] < train_results["avg_loss"][0]
+    assert os.path.exists(os.path.join(tmp_path, "model_states", "2", "model_states.npz"))
+    assert os.path.exists(os.path.join(tmp_path, "model_states", "4", "model_states.npz"))
+    # BN running stats must have moved away from init
+    assert not np.allclose(np.asarray(params["block3"]["bn_mean"]), 0.0)
+
+
+def test_toml_dump_roundtrip(tmp_path):
+    from m6anet_tpu.utils.config import dump_toml, load_toml
+
+    cfg = {
+        "model": "prod",
+        "block": [{"block_type": "Linear", "input_channel": 15}, {"block_type": "SigmoidProdPooling"}],
+        "dataloader": {"train": {"batch_size": 256, "shuffle": True}},
+    }
+    path = os.path.join(tmp_path, "c.toml")
+    dump_toml(cfg, path)
+    back = load_toml(path)
+    assert back == cfg
