@@ -1,0 +1,215 @@
+"""Columnar site store: the TPU-native alternative to line-JSON dataprep.
+
+data.json random access costs a JSON parse per site (the reference's design,
+m6anet/utils/data_utils.py:182-190).  At pod scale (millions of sites) the
+host featurized-read path must be memory-mappable, so dataprep can also emit:
+
+  columnar/
+    features.f32.bin   (total_reads, 3*(2w+1)) float32, row-major
+    read_ids.i64.bin   (total_reads,) int64
+    site_offsets.npy   (n_sites + 1,) int64 prefix sums into the read axis
+    site_tx.npy        (n_sites,) int32 index into transcripts list
+    site_pos.npy       (n_sites,) int64 transcript positions
+    site_seq.npy       (n_sites,) S(2w+5) sequence contexts
+    transcripts.txt    one transcript id per line
+    meta.json          version / dims / counts
+
+The reader memory-maps the read-level arrays; batching slices rows directly —
+no parsing at any point between disk and device.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from ..constants import DEFAULT_MIN_READS, KMER_TO_INT
+from .dataset import Site, _feature_indices, _subsequence
+from .norm import NormDict, load_norm_factors, site_norm_vectors
+
+FORMAT_VERSION = 1
+SUBDIR = "columnar"
+
+
+class ColumnarWriter:
+    """Streaming writer: append per-site feature blocks, finalize metadata."""
+
+    def __init__(self, out_dir: str, n_positions: int):
+        self.dir = os.path.join(out_dir, SUBDIR)
+        os.makedirs(self.dir, exist_ok=True)
+        self.n_positions = n_positions
+        self.n_features = 3 * n_positions
+        self._feat = open(os.path.join(self.dir, "features.f32.bin"), "wb")
+        self._reads = open(os.path.join(self.dir, "read_ids.i64.bin"), "wb")
+        self._tx_index = {}
+        self._transcripts: List[str] = []
+        self._site_tx: List[int] = []
+        self._site_pos: List[int] = []
+        self._site_seq: List[bytes] = []
+        self._counts: List[int] = []
+
+    def append_site(self, tx_id: str, pos: int, seq: str, features: np.ndarray, read_ids: np.ndarray):
+        if tx_id not in self._tx_index:
+            self._tx_index[tx_id] = len(self._transcripts)
+            self._transcripts.append(tx_id)
+        self._site_tx.append(self._tx_index[tx_id])
+        self._site_pos.append(int(pos))
+        self._site_seq.append(seq.encode())
+        self._counts.append(len(features))
+        self._feat.write(np.ascontiguousarray(features, dtype=np.float32).tobytes())
+        self._reads.write(np.ascontiguousarray(read_ids, dtype=np.int64).tobytes())
+
+    def finalize(self):
+        self._feat.close()
+        self._reads.close()
+        counts = np.asarray(self._counts, dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        np.save(os.path.join(self.dir, "site_offsets.npy"), offsets)
+        np.save(os.path.join(self.dir, "site_tx.npy"), np.asarray(self._site_tx, np.int32))
+        np.save(os.path.join(self.dir, "site_pos.npy"), np.asarray(self._site_pos, np.int64))
+        np.save(os.path.join(self.dir, "site_seq.npy"), np.asarray(self._site_seq))
+        with open(os.path.join(self.dir, "transcripts.txt"), "w", encoding="utf-8") as f:
+            f.write("".join(t + "\n" for t in self._transcripts))
+        with open(os.path.join(self.dir, "meta.json"), "w", encoding="utf-8") as f:
+            json.dump(
+                {
+                    "version": FORMAT_VERSION,
+                    "n_sites": len(counts),
+                    "n_reads": int(offsets[-1]),
+                    "n_positions": self.n_positions,
+                    "n_features": self.n_features,
+                },
+                f,
+            )
+
+
+class ColumnarSiteDataset:
+    """Memory-mapped dataset over a columnar store; same site API as
+    SiteDataset, parse-free."""
+
+    def __init__(
+        self,
+        root_dir: str,
+        min_reads: Optional[int] = DEFAULT_MIN_READS,
+        norm_path: Optional[str] = None,
+        num_neighboring_features: int = 1,
+        mode: str = "Inference",
+    ):
+        self.root_dir = root_dir
+        d = os.path.join(root_dir, SUBDIR)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"no columnar store under {root_dir}; run dataprep with --format columnar"
+            )
+        with open(os.path.join(d, "meta.json"), encoding="utf-8") as f:
+            self.meta = json.load(f)
+        self.total_neighboring_features = (self.meta["n_positions"] - 1) // 2
+        self.num_neighboring_features = num_neighboring_features
+        self.n_positions = 2 * num_neighboring_features + 1
+        self.indices = _feature_indices(self.total_neighboring_features, num_neighboring_features)
+        self.mode = mode
+        self.min_reads = min_reads if min_reads is not None else 0
+
+        self.offsets = np.load(os.path.join(d, "site_offsets.npy"))
+        self.site_tx = np.load(os.path.join(d, "site_tx.npy"))
+        self.site_pos = np.load(os.path.join(d, "site_pos.npy"))
+        self.site_seq = np.load(os.path.join(d, "site_seq.npy"))
+        with open(os.path.join(d, "transcripts.txt"), encoding="utf-8") as f:
+            self.transcripts = [line.rstrip("\n") for line in f]
+        self.features = np.memmap(
+            os.path.join(d, "features.f32.bin"),
+            dtype=np.float32,
+            mode="r",
+            shape=(self.meta["n_reads"], self.meta["n_features"]),
+        )
+        self.read_ids = np.memmap(
+            os.path.join(d, "read_ids.i64.bin"), dtype=np.int64, mode="r",
+            shape=(self.meta["n_reads"],),
+        )
+
+        counts = np.diff(self.offsets)
+        keep = counts >= self.min_reads
+        self.labels = None
+        if mode != "Inference":
+            keep &= self._load_labels(mode)
+        self.site_index = np.flatnonzero(keep)
+
+        self.norm_dict: Optional[NormDict] = load_norm_factors(norm_path) if norm_path else None
+        self._norm_cache = {}
+        self.rng = np.random
+
+    def _load_labels(self, mode: str) -> np.ndarray:
+        """Join data.info.labelled onto the columnar site table."""
+        import pandas as pd
+
+        labelled = pd.read_csv(os.path.join(self.root_dir, "data.info.labelled"))
+        key = {
+            (tx, int(pos)): (int(status), st)
+            for tx, pos, status, st in zip(
+                labelled["transcript_id"],
+                labelled["transcript_position"],
+                labelled["modification_status"],
+                labelled["set_type"],
+            )
+        }
+        mask = np.zeros(len(self.site_pos), dtype=bool)
+        labels = np.full(len(self.site_pos), -1, dtype=np.int64)
+        for i, (t, p) in enumerate(zip(self.site_tx, self.site_pos)):
+            entry = key.get((self.transcripts[t], int(p)))
+            if entry is not None and entry[1] == mode:
+                mask[i] = True
+                labels[i] = entry[0]
+        self.labels_full = labels
+        return mask
+
+    def __len__(self) -> int:
+        return len(self.site_index)
+
+    def _site_norm(self, seq: str):
+        cached = self._norm_cache.get(seq)
+        if cached is None:
+            mean, std = site_norm_vectors(self.norm_dict, seq, self.n_positions)
+            cached = (mean.astype(np.float32), std.astype(np.float32))
+            self._norm_cache[seq] = cached
+        return cached
+
+    def get_site(self, idx: int, handle=None) -> Site:
+        del handle
+        raw = self.site_index[idx]
+        start, end = self.offsets[raw], self.offsets[raw + 1]
+        seq_full = self.site_seq[raw].decode()
+        seq = _subsequence(seq_full, self.total_neighboring_features, self.num_neighboring_features)
+        features = np.asarray(self.features[start:end])[:, self.indices]
+        if self.norm_dict:
+            mean, std = self._site_norm(seq)
+            features = (features - mean) / std
+        kmers = [seq[i : i + 5] for i in range(self.n_positions)]
+        label = None
+        if self.mode != "Inference":
+            label = int(self.labels_full[raw])
+        return Site(
+            tx_id=self.transcripts[self.site_tx[raw]],
+            tx_pos=int(self.site_pos[raw]),
+            read_ids=np.asarray(self.read_ids[start:end]),
+            features=features.astype(np.float32),
+            kmer_ids=np.array([KMER_TO_INT[k] for k in kmers], dtype=np.int32),
+            sequence=seq,
+            label=label,
+        )
+
+    def iter_sites(self) -> Iterator[Site]:
+        for idx in range(len(self)):
+            yield self.get_site(idx)
+
+    def sample_reads(self, site: Site):
+        sel = self.rng.choice(site.n_reads, self.min_reads, replace=False)
+        return site.features[sel], np.repeat(site.kmer_ids[None, :], self.min_reads, axis=0)
+
+    def __getitem__(self, idx: int):
+        site = self.get_site(idx)
+        if self.mode == "Inference":
+            return site
+        features, kmers = self.sample_reads(site)
+        return features, kmers, site.label

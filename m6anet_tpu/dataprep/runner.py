@@ -26,9 +26,9 @@ from .combine import combine_read
 from .indexer import build_index, open_eventalign, read_index
 from .windowing import window_read
 
-# One featurized site ready for serialisation:
-# (position, json line string, n_reads)
-SiteRecord = Tuple[int, str, int]
+# One featurized site: (position, sequence context, features (n, 3*(2w+1))
+# float64, read indices, pre-rendered data.json line or None)
+SiteRecord = Tuple[int, str, np.ndarray, np.ndarray, Optional[str]]
 
 _worker_eventalign_path: Optional[str] = None
 _worker_file = None
@@ -47,6 +47,7 @@ def featurize_transcript(
     min_segment_count: int,
     compress: bool,
     eventalign_file=None,
+    emit_json: bool = True,
 ) -> List[SiteRecord]:
     """Featurize one transcript: read byte slices -> per-site JSON lines.
 
@@ -103,20 +104,24 @@ def featurize_transcript(
         feat = feats[s:e]
         if compress:
             feat = feat.round(decimals=3)
-        rows = np.concatenate([feat, read_ids[s:e, None].astype(np.float64)], axis=1)
-        payload = {seq.decode(): rows.tolist()}
-        line = '{"%s":{"%d":%s}}\n' % (
-            tx_id,
-            int(pos),
-            json.dumps(payload, separators=(",", ":")),
-        )
-        records.append((int(pos), line, int(n_reads)))
+        line = None
+        if emit_json:
+            rows = np.concatenate([feat, read_ids[s:e, None].astype(np.float64)], axis=1)
+            payload = {seq.decode(): rows.tolist()}
+            line = '{"%s":{"%d":%s}}\n' % (
+                tx_id,
+                int(pos),
+                json.dumps(payload, separators=(",", ":")),
+            )
+        records.append((int(pos), seq.decode(), feat, read_ids[s:e], line))
     return records
 
 
 def _featurize_task(args) -> Tuple[str, List[SiteRecord]]:
-    tx_id, read_slices, n_neighbors, min_segment_count, compress = args
-    return tx_id, featurize_transcript(tx_id, read_slices, n_neighbors, min_segment_count, compress)
+    tx_id, read_slices, n_neighbors, min_segment_count, compress, emit_json = args
+    return tx_id, featurize_transcript(
+        tx_id, read_slices, n_neighbors, min_segment_count, compress, emit_json=emit_json
+    )
 
 
 def iter_transcript_tasks(index_rows) -> Iterator[Tuple[str, List[Tuple[int, int, int]]]]:
@@ -139,13 +144,21 @@ def run_dataprep(
     n_neighbors: int = 1,
     compress: bool = False,
     skip_index: bool = False,
+    output_format: str = "json",
 ) -> None:
     """Full dataprep: index (stage A) + featurize/write (stage B).
 
     ``chunk_size`` is accepted for CLI compatibility but unused — the
-    streaming indexer has no chunking knob.
+    streaming indexer has no chunking knob.  ``output_format`` is one of
+    'json' (reference-compatible data.json), 'columnar' (memory-mappable
+    store, see m6anet_tpu/data/columnar.py), or 'both'.  data.info is always
+    written; in columnar-only mode its start/end byte offsets are zero.
     """
     del chunk_size
+    if output_format not in ("json", "columnar", "both"):
+        raise ValueError(f"invalid output_format {output_format!r}")
+    emit_json = output_format in ("json", "both")
+    emit_columnar = output_format in ("columnar", "both")
     os.makedirs(out_dir, exist_ok=True)
     index_path = os.path.join(out_dir, "eventalign.index")
     if not skip_index or not os.path.exists(index_path):
@@ -164,27 +177,39 @@ def run_dataprep(
             # (reference: m6anet/utils/dataprep_utils.py:379-390).
             if len(slices) < readcount_min:
                 continue
-            yield tx_id, slices[: readcount_max + 1], n_neighbors, min_segment_count, compress
+            yield tx_id, slices[: readcount_max + 1], n_neighbors, min_segment_count, compress, emit_json
 
-    with open(json_path, "w", encoding="utf-8") as f_json, open(
+    columnar_writer = None
+    if emit_columnar:
+        from ..data.columnar import ColumnarWriter
+
+        columnar_writer = ColumnarWriter(out_dir, 2 * n_neighbors + 1)
+
+    with open(json_path, "w", encoding="utf-8") if emit_json else _null_file() as f_json, open(
         info_path, "w", encoding="utf-8"
     ) as f_info, open(log_path, "w", encoding="utf-8") as f_log:
         f_info.write("transcript_id,transcript_position,start,end,n_reads\n")
 
         def write_result(tx_id: str, records: List[SiteRecord]):
-            for pos, line, n_reads in records:
-                start = f_json.tell()
-                f_json.write(line)
-                end = f_json.tell()
-                f_info.write(f"{tx_id},{pos},{start},{end},{n_reads}\n")
+            for pos, seq, feat, read_ids, line in records:
+                start = end = 0
+                if emit_json:
+                    start = f_json.tell()
+                    f_json.write(line)
+                    end = f_json.tell()
+                if columnar_writer is not None:
+                    columnar_writer.append_site(tx_id, pos, seq, feat, read_ids)
+                f_info.write(f"{tx_id},{pos},{start},{end},{len(read_ids)}\n")
             f_log.write(f"{tx_id}: Data preparation ... Done.\n")
 
         if n_processes <= 1:
             with open_eventalign(eventalign_path, buffering=1024 * 1024) as ev:
-                for tx_id, slices, nn, msc, comp in task_args():
+                for tx_id, slices, nn, msc, comp, ej in task_args():
                     write_result(
                         tx_id,
-                        featurize_transcript(tx_id, slices, nn, msc, comp, eventalign_file=ev),
+                        featurize_transcript(
+                            tx_id, slices, nn, msc, comp, eventalign_file=ev, emit_json=ej
+                        ),
                     )
         else:
             # spawn: forking a process that may already hold jax/XLA threads
@@ -205,3 +230,22 @@ def run_dataprep(
                             write_result(*fut.result())
                 for fut in pending:
                     write_result(*fut.result())
+
+    if columnar_writer is not None:
+        columnar_writer.finalize()
+
+
+class _null_file:
+    """Context manager standing in for data.json when JSON output is off."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def write(self, _):
+        raise RuntimeError("JSON output disabled")
+
+    def tell(self):
+        return 0

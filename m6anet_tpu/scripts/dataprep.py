@@ -28,6 +28,10 @@ def argparser():
                         help="number of neighboring features to extract.")
     parser.add_argument("--compress", default=False, action="store_true",
                         help="round features to 3 decimals in data.json.")
+    parser.add_argument("--format", dest="output_format", default="json",
+                        choices=["json", "columnar", "both"],
+                        help="site-store format: reference-compatible data.json, "
+                             "memory-mappable columnar store, or both.")
     return parser
 
 
@@ -46,4 +50,5 @@ def main(args):
         n_neighbors=args.n_neighbors,
         compress=args.compress,
         skip_index=args.skip_index,
+        output_format=args.output_format,
     )
