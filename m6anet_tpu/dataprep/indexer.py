@@ -81,8 +81,15 @@ def iter_index_rows(path: str) -> Iterator[IndexRow]:
 
 
 def build_index(eventalign_path: str, out_dir: str) -> str:
-    """Write eventalign.index; returns its path."""
+    """Write eventalign.index; returns its path.
+
+    Uses the native C++ scanner when available (m6anet_tpu/native/), falling
+    back to the Python streaming scan (always used for gzipped input)."""
     out_path = os.path.join(out_dir, "eventalign.index")
+    from ..native import native_index
+
+    if native_index(eventalign_path, out_path):
+        return out_path
     with open(out_path, "w", encoding="utf-8") as f:
         f.write("transcript_id,read_index,pos_start,pos_end\n")
         for tx_id, read_index, start, end in iter_index_rows(eventalign_path):

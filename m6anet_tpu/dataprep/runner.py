@@ -48,20 +48,40 @@ def featurize_transcript(
     compress: bool,
     eventalign_file=None,
     emit_json: bool = True,
+    eventalign_path: Optional[str] = None,
 ) -> List[SiteRecord]:
     """Featurize one transcript: read byte slices -> per-site JSON lines.
 
     ``read_slices`` is [(read_index, start, end), ...] in eventalign.index
     order.  Duplicated read_index keeps only the last occurrence, matching the
     reference's dict overwrite (reference: m6anet/utils/dataprep_utils.py:385).
+
+    Parsing runs through the native C++ core when available
+    (m6anet_tpu/native/); the numpy combiner is the fallback (gzipped input,
+    missing toolchain).
     """
-    f = eventalign_file if eventalign_file is not None else _worker_file
     per_read: Dict[int, Tuple] = {}
-    for read_index, start, end in read_slices:
-        f.seek(start)
-        combined = combine_read(f.read(end - start))
-        if combined is not None:
-            per_read[read_index] = combined
+    path = eventalign_path or _worker_eventalign_path
+    native_result = None
+    if path is not None:
+        from ..native import native_combine_batch
+
+        starts = np.array([s for _, s, _ in read_slices], dtype=np.int64)
+        ends = np.array([e for _, _, e in read_slices], dtype=np.int64)
+        native_result = native_combine_batch(path, starts, ends)
+    if native_result is not None:
+        pos_all, kmer_all, feat_all, bounds = native_result
+        for i, (read_index, _, _) in enumerate(read_slices):
+            s, e = bounds[i], bounds[i + 1]
+            if e - s > 1:  # reference's data.size > 1 gate
+                per_read[read_index] = (pos_all[s:e], kmer_all[s:e], feat_all[s:e])
+    else:
+        f = eventalign_file if eventalign_file is not None else _worker_file
+        for read_index, start, end in read_slices:
+            f.seek(start)
+            combined = combine_read(f.read(end - start))
+            if combined is not None:
+                per_read[read_index] = combined
 
     all_pos: List[np.ndarray] = []
     all_seq: List[np.ndarray] = []
@@ -208,7 +228,8 @@ def run_dataprep(
                     write_result(
                         tx_id,
                         featurize_transcript(
-                            tx_id, slices, nn, msc, comp, eventalign_file=ev, emit_json=ej
+                            tx_id, slices, nn, msc, comp, eventalign_file=ev,
+                            emit_json=ej, eventalign_path=eventalign_path,
                         ),
                     )
         else:

@@ -1,0 +1,120 @@
+"""ctypes bindings for the native eventalign parsing core.
+
+The shared library is compiled on first use (g++ -O3, ~1 s) and cached next
+to the source; every entry point has a pure-numpy fallback, so the framework
+works without a toolchain — just slower on the parsing hot path.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_SRC = os.path.join(_DIR, "eventalign_parser.cpp")
+_LIB = os.path.join(_DIR, "_libm6a_native.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        _SRC, "-o", _LIB,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    with _lock:
+        if _lib is not None:
+            return _lib
+        stale = not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+        if stale and not _build():
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.ea_index.restype = ctypes.c_longlong
+        lib.ea_index.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.ea_combine_batch.restype = ctypes.c_longlong
+        lib.ea_combine_batch.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_index(eventalign_path: str, out_path: str) -> bool:
+    """Native byte-range indexer; False => caller should use the Python path
+    (missing toolchain, or gzipped input)."""
+    if eventalign_path.endswith(".gz"):
+        return False
+    lib = get_lib()
+    if lib is None:
+        return False
+    rows = lib.ea_index(eventalign_path.encode(), out_path.encode())
+    return rows >= 0
+
+
+def native_combine_batch(
+    eventalign_path: str,
+    starts: np.ndarray,
+    ends: np.ndarray,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """Parse+aggregate a transcript's read byte-slices natively.
+
+    Returns (positions, kmers(S5), features(n,3), read_bounds(n_reads+1)) or
+    None when the native path is unavailable.
+    """
+    if eventalign_path.endswith(".gz"):
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    n = len(starts)
+    # min well-formed eventalign line is > 30 bytes; pad for safety
+    cap = int((ends - starts).sum() // 30 + n + 16)
+    out_pos = np.empty(cap, np.int64)
+    out_kmer = np.empty(cap * 5, np.uint8)
+    out_feat = np.empty(cap * 3, np.float64)
+    out_bounds = np.empty(n + 1, np.int64)
+    total = lib.ea_combine_batch(
+        eventalign_path.encode(), starts, ends, n, out_pos, out_kmer, out_feat, out_bounds, cap
+    )
+    if total < 0:
+        return None
+    return (
+        out_pos[:total].copy(),
+        out_kmer[: total * 5].view("S5").copy(),
+        out_feat[: total * 3].reshape(-1, 3)[:total].copy(),
+        out_bounds.copy(),
+    )

@@ -80,3 +80,61 @@ def test_dataprep_parallel_matches_serial(eventalign_fpath, demo_dataprep_dir, t
         ["transcript_id", "transcript_position"]
     )
     assert (a["n_reads"].values == b["n_reads"].values).all()
+
+
+def test_native_combine_matches_python(eventalign_fpath, tmp_path):
+    """C++ parser/aggregator parity against the numpy combiner."""
+    from m6anet_tpu.dataprep.combine import combine_read
+    from m6anet_tpu.native import get_lib, native_combine_batch
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    out = indexer.build_index(eventalign_fpath, str(tmp_path))
+    rows = indexer.read_index(out)
+    by_tx = {}
+    for tx, read, s, e in rows:
+        by_tx.setdefault(tx, []).append((read, s, e))
+
+    checked = 0
+    with open(eventalign_fpath, "rb") as f:
+        for tx, slices in list(by_tx.items())[:10]:
+            starts = np.array([s for _, s, _ in slices], dtype=np.int64)
+            ends = np.array([e for _, _, e in slices], dtype=np.int64)
+            pos, kmers, feats, bounds = native_combine_batch(eventalign_fpath, starts, ends)
+            for i, (_, s, e) in enumerate(slices):
+                f.seek(s)
+                py = combine_read(f.read(e - s))
+                n = bounds[i + 1] - bounds[i]
+                if py is None:
+                    assert n <= 1
+                    continue
+                sl = slice(bounds[i], bounds[i + 1])
+                np.testing.assert_array_equal(pos[sl], py[0])
+                np.testing.assert_array_equal(kmers[sl], py[1])
+                np.testing.assert_allclose(feats[sl], py[2], rtol=0, atol=0)
+                checked += 1
+    assert checked > 20
+
+
+def test_dataprep_gzip_input(eventalign_fpath, demo_dataprep_dir, tmp_path):
+    """Gzipped eventalign input produces identical site read counts."""
+    import gzip
+    import shutil
+
+    from m6anet_tpu.dataprep import run_dataprep
+
+    gz_path = str(tmp_path / "eventalign.txt.gz")
+    with open(eventalign_fpath, "rb") as src, gzip.open(gz_path, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+
+    out = tmp_path / "out"
+    run_dataprep(gz_path, str(out), n_processes=1, readcount_min=1,
+                 readcount_max=1000, min_segment_count=1, n_neighbors=1)
+    a = pd.read_csv(out / "data.info").sort_values(["transcript_id", "transcript_position"])
+    b = pd.read_csv(os.path.join(demo_dataprep_dir, "data.info")).sort_values(
+        ["transcript_id", "transcript_position"]
+    )
+    assert (a["n_reads"].values == b["n_reads"].values).all()
