@@ -13,6 +13,7 @@ to the *decompressed* stream, matching how the reader re-opens it.
 from __future__ import annotations
 
 import gzip
+import numpy as np
 import io
 import os
 from typing import Iterator, List, Tuple
@@ -98,11 +99,18 @@ def build_index(eventalign_path: str, out_dir: str) -> str:
 
 
 def read_index(index_path: str) -> List[IndexRow]:
-    """Load eventalign.index preserving file order."""
-    rows: List[IndexRow] = []
-    with open(index_path, "r", encoding="utf-8") as f:
-        f.readline()  # header
-        for line in f:
-            tx_id, read_index, start, end = line.rstrip("\n").split(",")
-            rows.append((tx_id, int(read_index), int(start), int(end)))
-    return rows
+    """Load eventalign.index preserving file order (pandas C parser)."""
+    import pandas as pd
+
+    df = pd.read_csv(
+        index_path,
+        dtype={"transcript_id": str, "read_index": np.int64, "pos_start": np.int64, "pos_end": np.int64},
+    )
+    return list(
+        zip(
+            df["transcript_id"].tolist(),
+            df["read_index"].tolist(),
+            df["pos_start"].tolist(),
+            df["pos_end"].tolist(),
+        )
+    )

@@ -60,22 +60,38 @@ def featurize_transcript(
     (m6anet_tpu/native/); the numpy combiner is the fallback (gzipped input,
     missing toolchain).
     """
-    per_read: Dict[int, Tuple] = {}
     path = eventalign_path or _worker_eventalign_path
     native_result = None
     if path is not None:
-        from ..native import native_combine_batch
+        from ..native import native_featurize_batch
 
         starts = np.array([s for _, s, _ in read_slices], dtype=np.int64)
         ends = np.array([e for _, _, e in read_slices], dtype=np.int64)
-        native_result = native_combine_batch(path, starts, ends)
+        native_result = native_featurize_batch(path, starts, ends, n_neighbors)
+
     if native_result is not None:
-        pos_all, kmer_all, feat_all, bounds = native_result
-        for i, (read_index, _, _) in enumerate(read_slices):
-            s, e = bounds[i], bounds[i + 1]
-            if e - s > 1:  # reference's data.size > 1 gate
-                per_read[read_index] = (pos_all[s:e], kmer_all[s:e], feat_all[s:e])
+        pos_all, seq_all, feat_all, wbounds, npos = native_result
+        slice_reads = np.array([rd for rd, _, _ in read_slices], dtype=np.int64)
+        counts = np.diff(wbounds)
+        keep = npos > 1  # reference's data.size > 1 gate
+        if len(slice_reads) != len(np.unique(slice_reads)):
+            # dict-overwrite semantics for duplicated read_index
+            # (reference: dataprep_utils.py:384-385): keep last occurrence only
+            last = {rd: i for i, rd in enumerate(slice_reads)}
+            dup_mask = np.zeros(len(slice_reads), dtype=bool)
+            dup_mask[list(last.values())] = True
+            keep &= dup_mask
+        if not keep.any():
+            return []
+        window_mask = np.repeat(keep, counts)
+        positions = pos_all[window_mask]
+        if len(positions) == 0:
+            return []
+        seqs = seq_all[window_mask]
+        feats = feat_all[window_mask]
+        read_ids = np.repeat(slice_reads, counts)[window_mask]
     else:
+        per_read: Dict[int, Tuple] = {}
         f = eventalign_file if eventalign_file is not None else _worker_file
         for read_index, start, end in read_slices:
             f.seek(start)
@@ -83,27 +99,27 @@ def featurize_transcript(
             if combined is not None:
                 per_read[read_index] = combined
 
-    all_pos: List[np.ndarray] = []
-    all_seq: List[np.ndarray] = []
-    all_feat: List[np.ndarray] = []
-    all_read: List[np.ndarray] = []
-    for read_index, combined in per_read.items():
-        windowed = window_read(combined, n_neighbors)
-        if windowed is None:
-            continue
-        pos, seq, feat = windowed
-        all_pos.append(pos)
-        all_seq.append(seq)
-        all_feat.append(feat)
-        all_read.append(np.full(len(pos), read_index, dtype=np.int64))
+        all_pos: List[np.ndarray] = []
+        all_seq: List[np.ndarray] = []
+        all_feat: List[np.ndarray] = []
+        all_read: List[np.ndarray] = []
+        for read_index, combined in per_read.items():
+            windowed = window_read(combined, n_neighbors)
+            if windowed is None:
+                continue
+            pos, seq, feat = windowed
+            all_pos.append(pos)
+            all_seq.append(seq)
+            all_feat.append(feat)
+            all_read.append(np.full(len(pos), read_index, dtype=np.int64))
 
-    if not all_pos:
-        return []
+        if not all_pos:
+            return []
 
-    positions = np.concatenate(all_pos)
-    seqs = np.concatenate(all_seq)
-    feats = np.concatenate(all_feat)
-    read_ids = np.concatenate(all_read)
+        positions = np.concatenate(all_pos)
+        seqs = np.concatenate(all_seq)
+        feats = np.concatenate(all_feat)
+        read_ids = np.concatenate(all_read)
 
     # Stable sort by position keeps reads in file order within a site
     # (reference: m6anet/utils/dataprep_utils.py:444-450).
@@ -233,11 +249,15 @@ def run_dataprep(
                         ),
                     )
         else:
-            # spawn: forking a process that may already hold jax/XLA threads
-            # (e.g. when dataprep is called from a test session) can deadlock.
+            # fork is cheap and needs no __main__ guard, but forking a process
+            # that already holds jax/XLA threads can deadlock — use spawn when
+            # jax has been imported (e.g. inside a test session).
+            import sys
+
+            method = "spawn" if "jax" in sys.modules else "fork"
             with ProcessPoolExecutor(
                 max_workers=n_processes,
-                mp_context=multiprocessing.get_context("spawn"),
+                mp_context=multiprocessing.get_context(method),
                 initializer=_worker_init,
                 initargs=(eventalign_path,),
             ) as pool:

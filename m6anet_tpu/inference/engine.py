@@ -31,6 +31,8 @@ from ..data.dataset import SiteDataset
 from ..models.mil import MILModel
 from ..ops import site_ops
 from ..parallel import mesh as mesh_lib
+from ..utils.logging import get_logger
+from ..utils.profiling import StageTimer
 
 SITE_HEADER = "transcript_id,transcript_position,n_reads,probability_modified,kmer,mod_ratio\n"
 INDIV_HEADER = "transcript_id,transcript_position,read_index,probability_modified\n"
@@ -113,9 +115,18 @@ def run_inference(
     use_mesh: bool = True,
     pipeline_depth: int = 2,
     backend: str = "xla",
+    resume: bool = False,
 ) -> None:
-    """Run inference over every site of the dataset and write both CSVs."""
+    """Run inference over every site of the dataset and write both CSVs.
+
+    ``resume=True`` continues an interrupted run: both CSVs are truncated to
+    the last fully-written site and the dataset's already-scored prefix is
+    skipped.  (The reference has no inference checkpointing at all —
+    SURVEY.md §5.)
+    """
     os.makedirs(out_dir, exist_ok=True)
+    timer = StageTimer()
+    log = get_logger("m6anet_tpu.inference")
 
     mesh = None
     if use_mesh and len(jax.devices()) > 1:
@@ -135,35 +146,99 @@ def run_inference(
     site_path = os.path.join(out_dir, "data.site_proba.csv")
     indiv_path = os.path.join(out_dir, "data.indiv_proba.csv")
 
-    with open(site_path, "w", encoding="utf-8") as f_site, open(
-        indiv_path, "w", encoding="utf-8"
+    n_done = 0
+    file_mode = "w"
+    if resume and os.path.exists(site_path) and os.path.exists(indiv_path):
+        n_done = _prepare_resume(site_path, indiv_path)
+        file_mode = "a"
+        log.info("resuming: %d sites already scored", n_done)
+
+    def sites_to_score():
+        it = dataset.iter_sites()
+        for _ in range(n_done):
+            next(it)
+        yield from it
+
+    with open(site_path, file_mode, encoding="utf-8") as f_site, open(
+        indiv_path, file_mode, encoding="utf-8"
     ) as f_indiv:
-        f_site.write(SITE_HEADER)
-        f_indiv.write(INDIV_HEADER)
+        if file_mode == "w":
+            f_site.write(SITE_HEADER)
+            f_indiv.write(INDIV_HEADER)
 
         inflight: deque = deque()
 
         def drain_one():
             batch, fut = inflight.popleft()
-            _write_batch(batch, *fut, f_site=f_site, f_indiv=f_indiv)
+            with timer.stage("write"):
+                _write_batch(batch, *fut, f_site=f_site, f_indiv=f_indiv)
 
-        for batch in pack_sites(
-            dataset.iter_sites(), read_capacity=read_capacity, site_capacity=site_capacity
+        for batch in _timed_iter(
+            timer,
+            "featurize+pack",
+            pack_sites(sites_to_score(), read_capacity=read_capacity, site_capacity=site_capacity),
         ):
-            site_keys = site_ops.make_site_keys(base_key, jnp.asarray(batch.global_ids))
-            args = (batch.features, batch.kmer_ids, batch.site_ids, batch.offsets, batch.counts)
-            if mesh is not None:
-                features, kmer_ids, site_ids = (
-                    jax.device_put(batch.features, read_shard),
-                    jax.device_put(batch.kmer_ids, read_shard),
-                    jax.device_put(batch.site_ids, read_shard),
+            with timer.stage("dispatch"):
+                site_keys = site_ops.make_site_keys(
+                    base_key, jnp.asarray(batch.global_ids + n_done)
                 )
-                offsets = jax.device_put(batch.offsets, repl)
-                counts = jax.device_put(batch.counts, repl)
-                args = (features, kmer_ids, site_ids, offsets, counts)
-            result = step(params, *args, site_keys)
-            inflight.append((batch, result))
+                args = (batch.features, batch.kmer_ids, batch.site_ids, batch.offsets, batch.counts)
+                if mesh is not None:
+                    features, kmer_ids, site_ids = (
+                        jax.device_put(batch.features, read_shard),
+                        jax.device_put(batch.kmer_ids, read_shard),
+                        jax.device_put(batch.site_ids, read_shard),
+                    )
+                    offsets = jax.device_put(batch.offsets, repl)
+                    counts = jax.device_put(batch.counts, repl)
+                    args = (features, kmer_ids, site_ids, offsets, counts)
+                result = step(params, *args, site_keys)
+                inflight.append((batch, result))
             if len(inflight) >= pipeline_depth:
                 drain_one()
         while inflight:
             drain_one()
+    log.info("inference stages: %s", timer.summary())
+
+
+def _timed_iter(timer: "StageTimer", name: str, it):
+    """Attribute generator-side (host featurization) time to a stage."""
+    it = iter(it)
+    while True:
+        with timer.stage(name):
+            try:
+                item = next(it)
+            except StopIteration:
+                return
+        yield item
+
+
+def _prepare_resume(site_path: str, indiv_path: str) -> int:
+    """Truncate both CSVs to the last complete site; return its count.
+
+    The site CSV is the source of truth: any site row after the last newline
+    is dropped, then the indiv CSV is truncated to exactly the rows of the
+    surviving sites (rows are written grouped per site, in order).
+    """
+    with open(site_path, "rb+") as f:
+        data = f.read()
+        last_nl = data.rfind(b"\n")
+        f.truncate(last_nl + 1)
+        lines = data[: last_nl + 1].decode().splitlines()
+    sites = [line.split(",") for line in lines[1:]]
+    n_done = len(sites)
+    expected_reads = sum(int(row[2]) for row in sites)
+
+    with open(indiv_path, "rb+") as f:
+        header = f.readline()
+        offset = len(header)
+        for _ in range(expected_reads):
+            line = f.readline()
+            if not line or not line.endswith(b"\n"):
+                raise RuntimeError(
+                    "indiv_proba.csv is shorter than site_proba.csv implies; "
+                    "cannot resume — rerun without resume"
+                )
+            offset += len(line)
+        f.truncate(offset)
+    return n_done

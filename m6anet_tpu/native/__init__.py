@@ -67,6 +67,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             ctypes.c_int64,
         ]
+        lib.ea_featurize_batch.restype = ctypes.c_longlong
+        lib.ea_featurize_batch.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -117,4 +133,60 @@ def native_combine_batch(
         out_kmer[: total * 5].view("S5").copy(),
         out_feat[: total * 3].reshape(-1, 3)[:total].copy(),
         out_bounds.copy(),
+    )
+
+
+_MOTIF_BUF = None
+
+
+def _motif_buffer() -> np.ndarray:
+    global _MOTIF_BUF
+    if _MOTIF_BUF is None:
+        from ..constants import M6A_KMERS
+
+        _MOTIF_BUF = np.frombuffer("".join(M6A_KMERS).encode(), dtype=np.uint8).copy()
+    return _MOTIF_BUF
+
+
+def native_featurize_batch(
+    eventalign_path: str,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    window_size: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """Fused parse+aggregate+window+DRACH-filter for a transcript's reads.
+
+    Returns (center_positions, sequence contexts S(5+2w), window features
+    (n, 3*(2w+1)), window bounds per read (n_reads+1), aggregated position
+    counts per read (n_reads,)) or None when unavailable.
+    """
+    if eventalign_path.endswith(".gz"):
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    n = len(starts)
+    motifs = _motif_buffer()
+    seq_len = 5 + 2 * window_size
+    width = 2 * window_size + 1
+    cap = int((ends - starts).sum() // 30 + n + 16)
+    out_pos = np.empty(cap, np.int64)
+    out_seq = np.empty(cap * seq_len, np.uint8)
+    out_feat = np.empty(cap * 3 * width, np.float64)
+    out_bounds = np.empty(n + 1, np.int64)
+    out_npos = np.empty(n, np.int64)
+    total = lib.ea_featurize_batch(
+        eventalign_path.encode(), starts, ends, n, motifs, len(motifs) // 5,
+        window_size, out_pos, out_seq, out_feat, out_bounds, out_npos, cap,
+    )
+    if total < 0:
+        return None
+    return (
+        out_pos[:total].copy(),
+        out_seq[: total * seq_len].view(f"S{seq_len}").copy(),
+        out_feat[: total * 3 * width].reshape(-1, 3 * width)[:total].copy(),
+        out_bounds.copy(),
+        out_npos.copy(),
     )

@@ -276,3 +276,137 @@ long long ea_combine_batch(const char* path, const int64_t* starts,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Fused parse + aggregate + window + DRACH-filter for a batch of read slices.
+//
+// For each read: aggregate events per position (as ea_combine_batch), then
+// emit one window per position that (a) has `w` consecutive neighbours on
+// both sides and (b) whose center 5-mer is in the DRACH motif set.
+//
+// Inputs:
+//   motifs     n_motifs * 5 bytes (the DRACH center set)
+//   w          neighbour radius (window = 2w+1 positions)
+// Outputs (caller-allocated, capacity cap windows):
+//   out_pos     int64[cap]            window center positions (+2 shifted)
+//   out_seq     uint8[cap*(5+2w)]     combined sequence context
+//   out_feat    double[cap*3*(2w+1)]  (dwell, std, mean) per window position
+//   out_bounds  int64[n_reads+1]      window-count prefix per read
+//   out_npos    int64[n_reads]        aggregated position count per read
+// Returns total windows, or -1 on I/O error, -2 on overflow.
+long long ea_featurize_batch(const char* path, const int64_t* starts,
+                             const int64_t* ends, int64_t n_reads,
+                             const uint8_t* motifs, int64_t n_motifs,
+                             int64_t w, int64_t* out_pos, uint8_t* out_seq,
+                             double* out_feat, int64_t* out_bounds,
+                             int64_t* out_npos, int64_t cap) {
+  FILE* in = fopen(path, "rb");
+  if (in == nullptr) return -1;
+
+  const int64_t width = 2 * w + 1;
+  const int64_t seq_len = 5 + 2 * w;
+
+  std::vector<char> buf;
+  long long total = 0;
+  out_bounds[0] = 0;
+
+  struct Acc {
+    long long pos;
+    char kmer[5];
+    double w_sum, mean_sum, std_sum, dwell_sum;
+  };
+  std::vector<Acc> accs;
+
+  auto is_drach = [&](const char* k) {
+    for (int64_t m = 0; m < n_motifs; ++m) {
+      if (memcmp(k, motifs + m * 5, 5) == 0) return true;
+    }
+    return false;
+  };
+
+  for (int64_t r = 0; r < n_reads; ++r) {
+    int64_t len = ends[r] - starts[r];
+    buf.resize(static_cast<size_t>(len));
+    if (fseeko(in, starts[r], SEEK_SET) != 0 ||
+        fread(buf.data(), 1, static_cast<size_t>(len), in) !=
+            static_cast<size_t>(len)) {
+      fclose(in);
+      return -1;
+    }
+    accs.clear();
+
+    const char* p = buf.data();
+    const char* bend = buf.data() + len;
+    while (p < bend) {
+      const char* nl = static_cast<const char*>(
+          memchr(p, '\n', static_cast<size_t>(bend - p)));
+      const char* line_end = nl ? nl : bend;
+      Field f[15];
+      int nf = split_fields(p, line_end, f, 15);
+      p = line_end + 1;
+      if (nf < 15) continue;
+      if (!field_eq(f[2], f[9])) continue;
+      long long position = parse_ll(f[1]);
+      double ev_mean = parse_double(f[6]);
+      double ev_stdv = parse_double(f[7]);
+      double ev_len = parse_double(f[8]);
+      double wt = static_cast<double>(parse_ll(f[14]) - parse_ll(f[13]));
+
+      Acc* acc = nullptr;
+      if (!accs.empty() && accs.back().pos == position) {
+        acc = &accs.back();
+      } else {
+        for (auto it = accs.rbegin(); it != accs.rend(); ++it) {
+          if (it->pos == position) {
+            acc = &*it;
+            break;
+          }
+        }
+      }
+      if (acc == nullptr) {
+        accs.push_back(Acc{position, {0, 0, 0, 0, 0}, 0.0, 0.0, 0.0, 0.0});
+        acc = &accs.back();
+        memcpy(acc->kmer, f[2].p, f[2].len < 5 ? f[2].len : 5);
+      }
+      acc->w_sum += wt;
+      acc->mean_sum += ev_mean * wt;
+      acc->std_sum += ev_stdv * wt;
+      acc->dwell_sum += ev_len * wt;
+    }
+
+    std::sort(accs.begin(), accs.end(),
+              [](const Acc& a, const Acc& b) { return a.pos < b.pos; });
+    out_npos[r] = static_cast<int64_t>(accs.size());
+
+    const int64_t n = static_cast<int64_t>(accs.size());
+    for (int64_t i = w; i + w < n; ++i) {
+      // consecutive span (positions are sorted unique)
+      if (accs[i + w].pos - accs[i - w].pos != 2 * w) continue;
+      if (!is_drach(accs[i].kmer)) continue;
+      if (total >= cap) {
+        fclose(in);
+        return -2;
+      }
+      out_pos[total] = accs[i].pos + 2;
+      uint8_t* seq = out_seq + total * seq_len;
+      memcpy(seq, accs[i - w].kmer, 5);
+      for (int64_t j = 1; j <= 2 * w; ++j) {
+        seq[4 + j] = static_cast<uint8_t>(accs[i - w + j].kmer[4]);
+      }
+      double* feat = out_feat + total * 3 * width;
+      for (int64_t j = 0; j < width; ++j) {
+        const Acc& a = accs[i - w + j];
+        feat[j * 3 + 0] = a.dwell_sum / a.w_sum;
+        feat[j * 3 + 1] = a.std_sum / a.w_sum;
+        feat[j * 3 + 2] = rint(a.mean_sum / a.w_sum * 10.0) / 10.0;
+      }
+      ++total;
+    }
+    out_bounds[r + 1] = total;
+  }
+  fclose(in);
+  return total;
+}
+
+}  // extern "C"

@@ -59,6 +59,15 @@ def argparser():
                         help="sites per device batch (static shape).")
     parser.add_argument("--min_reads", default=DEFAULT_MIN_READS, type=int,
                         help="minimum reads for a site to be scored.")
+    parser.add_argument("--backend", default="xla", choices=["xla", "pallas"],
+                        help="per-read encoder backend (pallas = fused kernel, "
+                             "production architecture only).")
+    parser.add_argument("--resume", default=False, action="store_true",
+                        help="continue an interrupted run from the last "
+                             "fully-written site.")
+    parser.add_argument("--columnar", default=False, action="store_true",
+                        help="read the columnar site store instead of data.json "
+                             "(requires dataprep --format columnar).")
     return parser
 
 
@@ -122,7 +131,16 @@ def main(args):
 
     input_dir = args.input_dir
     root_dir = input_dir[0] if len(input_dir) == 1 else list(input_dir)
-    dataset = build_dataset(root_dir, min_reads=args.min_reads, norm_path=norm_path, mode="Inference")
+    if getattr(args, "columnar", False):
+        if not isinstance(root_dir, str):
+            raise ValueError("--columnar supports a single input_dir")
+        from ..data.columnar import ColumnarSiteDataset
+
+        dataset = ColumnarSiteDataset(root_dir, min_reads=args.min_reads, norm_path=norm_path)
+    else:
+        dataset = build_dataset(
+            root_dir, min_reads=args.min_reads, norm_path=norm_path, mode="Inference"
+        )
 
     run_inference(
         model,
@@ -135,4 +153,6 @@ def main(args):
         seed=args.seed,
         read_capacity=args.read_capacity,
         site_capacity=args.site_capacity,
+        backend=getattr(args, "backend", "xla"),
+        resume=getattr(args, "resume", False),
     )

@@ -37,7 +37,9 @@ def argparser():
     parser.add_argument("--resume_epoch", default=0, type=int,
                         help="epoch offset when resuming from a checkpoint.")
     parser.add_argument("--resume_from", default=None,
-                        help="checkpoint .npz to resume parameters from.")
+                        help="checkpoint to resume from: a params .npz, a "
+                             "checkpoint directory, or 'auto' to pick the "
+                             "latest under save_dir.")
     return parser
 
 
@@ -78,14 +80,28 @@ def main(args):
     dump_toml(train_info, os.path.join(save_dir, "train_info.toml"))
 
     model = MILModel(model_config)
+    optimizer = make_optimizer(args.lr, args.weight_decay, args.clip_grad)
+
+    opt_state = None
     if args.resume_from:
-        params = load_tree(args.resume_from)
+        from ..train.checkpoint import latest_checkpoint, restore_checkpoint
+
+        target = args.resume_from
+        if target == "auto":
+            target = latest_checkpoint(save_dir)
+            if target is None:
+                raise ValueError(f"no checkpoint found under {save_dir}")
+        if os.path.isdir(target):
+            params, opt_state, epoch = restore_checkpoint(target, optimizer)
+            if not args.resume_epoch:
+                args.resume_epoch = epoch
+        else:
+            params = load_tree(target)
     else:
         params = model.init(jax.random.PRNGKey(args.seed))
 
     train_dl, val_dl, test_dl = build_dataloader(train_config, args.n_processes)
 
-    optimizer = make_optimizer(args.lr, args.weight_decay, args.clip_grad)
     loss_fn = build_loss_function(dict(train_config["loss_function"]))
 
     params, train_results, val_results = train(
@@ -101,6 +117,7 @@ def main(args):
         epoch_increment=args.resume_epoch,
         n_iterations=args.num_iterations,
         seed=args.seed,
+        opt_state=opt_state,
     )
 
     def _dump_results(results, path):

@@ -156,15 +156,21 @@ def train(
     epoch_increment: int = 0,
     n_iterations: int = 1,
     seed: int = 0,
+    opt_state=None,
 ) -> Tuple[Dict, Dict]:
-    """Full training run (reference: m6anet/utils/training_utils.py:61-145)."""
+    """Full training run (reference: m6anet/utils/training_utils.py:61-145).
+
+    Pass ``opt_state`` (with ``epoch_increment``) to resume a run restored by
+    :func:`m6anet_tpu.train.checkpoint.restore_checkpoint`.
+    """
     del clip_grad
     assert save_per_epoch <= n_epoch
 
     step = make_train_step(model, loss_fn, optimizer)
     eval_step = make_eval_step(model, loss_fn)
-    opt_state = optimizer.init(params)
-    rng = jax.random.PRNGKey(seed)
+    if opt_state is None:
+        opt_state = optimizer.init(params)
+    rng = jax.random.PRNGKey(seed + epoch_increment)
 
     total_time = 0.0
     train_results: Dict = {}
@@ -196,8 +202,9 @@ def train(
             val_results.setdefault(key, []).append(val)
 
         if save_dir is not None and (epoch + epoch_increment) % save_per_epoch == 0:
+            from .checkpoint import save_checkpoint
+
             save_path = os.path.join(save_dir, "model_states", str(epoch + epoch_increment))
-            os.makedirs(save_path, exist_ok=True)
-            save_tree(os.path.join(save_path, "model_states.npz"), jax.device_get(params))
+            save_checkpoint(save_path, params, opt_state, epoch + epoch_increment)
 
     return params, train_results, val_results

@@ -126,3 +126,34 @@ def test_inference_replicates(production_model, tmp_path, golden_indiv_proba, go
     merged_s = site.merge(want_s, on=["transcript_id", "transcript_position"])
     np.testing.assert_allclose(merged_s["mod_ratio"], merged_s["gt_mod_ratio"], atol=1e-6)
     np.testing.assert_allclose(merged_s["probability_modified"], merged_s["gt"], atol=1e-2)
+
+
+def test_inference_resume(production_model, tmp_path):
+    """Kill-and-resume: truncated outputs continue to an identical result."""
+    model, params = production_model
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    ds = build_dataset(DATA_DIR, min_reads=DEFAULT_MIN_READS, norm_path=norm, mode="Inference")
+
+    full = tmp_path / "full"
+    run_inference(model, params, ds, str(full), read_proba_threshold=thr)
+
+    # simulate a crash: keep the header + first 37 site rows, and chop the
+    # indiv file mid-line
+    broken = tmp_path / "broken"
+    broken.mkdir()
+    site_lines = (full / "data.site_proba.csv").read_text().splitlines(keepends=True)
+    (broken / "data.site_proba.csv").write_text("".join(site_lines[:38]) + "ENST0000partial")
+    kept_reads = sum(int(l.split(",")[2]) for l in site_lines[1:38])
+    indiv_lines = (full / "data.indiv_proba.csv").read_text().splitlines(keepends=True)
+    (broken / "data.indiv_proba.csv").write_text(
+        "".join(indiv_lines[: 1 + kept_reads + 3])  # 3 orphan rows past the last full site
+    )
+
+    run_inference(model, params, ds, str(broken), read_proba_threshold=thr, resume=True)
+
+    a = pd.read_csv(full / "data.site_proba.csv")
+    b = pd.read_csv(broken / "data.site_proba.csv")
+    pd.testing.assert_frame_equal(a, b)
+    ai = pd.read_csv(full / "data.indiv_proba.csv")
+    bi = pd.read_csv(broken / "data.indiv_proba.csv")
+    pd.testing.assert_frame_equal(ai, bi)

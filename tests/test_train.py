@@ -144,3 +144,45 @@ def test_toml_dump_roundtrip(tmp_path):
     dump_toml(cfg, path)
     back = load_toml(path)
     assert back == cfg
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    """save_checkpoint/restore_checkpoint reproduce params and Adam state."""
+    import jax
+    from m6anet_tpu.constants import DEFAULT_MODEL_CONFIG
+    from m6anet_tpu.models.mil import MILModel
+    from m6anet_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+    from m6anet_tpu.train.loop import make_optimizer, make_train_step
+    from m6anet_tpu.train.losses import binary_cross_entropy_loss
+    from m6anet_tpu.utils.config import load_toml
+
+    model = MILModel(load_toml(DEFAULT_MODEL_CONFIG))
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = make_optimizer(1e-3, weight_decay=1e-5)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, binary_cross_entropy_loss, optimizer)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "X": rng.normal(size=(8, 20, 9)).astype(np.float32),
+        "kmer": rng.integers(0, 66, size=(8, 20, 3)).astype(np.int32),
+        "y": rng.integers(0, 2, size=(8,)).astype(np.float32),
+    }
+    params, opt_state, _, _ = step(params, opt_state, batch, jax.random.PRNGKey(1))
+
+    ckpt = str(tmp_path / "model_states" / "3")
+    save_checkpoint(ckpt, params, opt_state, 3)
+    assert latest_checkpoint(str(tmp_path)) == ckpt
+    params2, opt_state2, epoch = restore_checkpoint(ckpt, optimizer)
+    assert epoch == 3
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(opt_state), jax.tree_util.tree_leaves(opt_state2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # stepping the restored state matches stepping the original
+    p1, o1, l1, _ = step(params, opt_state, batch, jax.random.PRNGKey(2))
+    p2, o2, l2, _ = step(params2, opt_state2, batch, jax.random.PRNGKey(2))
+    assert float(l1) == float(l2)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
