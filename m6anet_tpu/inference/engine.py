@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 from collections import deque
 from functools import partial
-from typing import Iterator, Optional
+from typing import Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -69,12 +69,18 @@ def make_infer_step(
         def per_read_prob(params, features, kmer_ids):
             return model.per_read_probability(params, {"X": features, "kmer": kmer_ids})
 
+    # One single jitted program per batch: even the MC per-site keys are
+    # derived in-graph from (base_key, global site ids).  Never dispatch a
+    # second eager device program alongside the step — on the axon TPU
+    # platform an eager computation racing a jitted dispatch can deadlock the
+    # execution queue (observed: make_site_keys + step back-to-back hangs).
     @partial(jax.jit, donate_argnums=())
-    def step(params, features, kmer_ids, site_ids, offsets, counts, site_keys):
+    def step(params, features, kmer_ids, site_ids, offsets, counts, global_ids, base_key):
         p = per_read_prob(params, features, kmer_ids)
         if method == "exact":
             site_p = site_ops.site_probability_exact(p, site_ids, counts, site_capacity, n_samples)
         else:
+            site_keys = site_ops.make_site_keys(base_key, global_ids)
             site_p = site_ops.site_probability_mc(
                 p, offsets, counts, site_keys, n_iters=n_iterations, n_samples=n_samples
             )
@@ -116,6 +122,7 @@ def run_inference(
     pipeline_depth: int = 2,
     backend: str = "xla",
     resume: bool = False,
+    host_shard: Optional[Tuple[int, int]] = None,
 ) -> None:
     """Run inference over every site of the dataset and write both CSVs.
 
@@ -123,10 +130,27 @@ def run_inference(
     the last fully-written site and the dataset's already-scored prefix is
     skipped.  (The reference has no inference checkpointing at all —
     SURVEY.md §5.)
+
+    ``host_shard=(host_id, n_hosts)`` is the multi-host mode: this process
+    scores its contiguous slice of the global site index and writes
+    ``*.csv.shard{host_id}`` files; merge with :func:`merge_host_shards`.
+    Per-site MC keys are derived from the dataset-global site index, so
+    results are invariant to the shard layout.
     """
     os.makedirs(out_dir, exist_ok=True)
     timer = StageTimer()
     log = get_logger("m6anet_tpu.inference")
+
+    shard_suffix = ""
+    global_offset = 0
+    n_total_sites = None
+    if host_shard is not None:
+        host_id, n_hosts = host_shard
+        lo, hi = mesh_lib.host_shard_bounds(len(dataset), n_hosts, host_id)
+        global_offset = lo
+        n_total_sites = hi - lo
+        shard_suffix = f".shard{host_id}"
+        log.info("host %d/%d scoring sites [%d, %d)", host_id, n_hosts, lo, hi)
 
     mesh = None
     if use_mesh and len(jax.devices()) > 1:
@@ -141,10 +165,12 @@ def run_inference(
     step = make_infer_step(
         model, site_capacity, read_proba_threshold, n_samples, method, num_iterations, backend
     )
-    base_key = jax.random.PRNGKey(seed)
+    # raw threefry key data built on host (no device program): PRNGKey(seed)
+    # is (hi, lo) = (seed >> 32, seed & 0xffffffff)
+    base_key = np.array([seed >> 32, seed & 0xFFFFFFFF], dtype=np.uint32)
 
-    site_path = os.path.join(out_dir, "data.site_proba.csv")
-    indiv_path = os.path.join(out_dir, "data.indiv_proba.csv")
+    site_path = os.path.join(out_dir, "data.site_proba.csv" + shard_suffix)
+    indiv_path = os.path.join(out_dir, "data.indiv_proba.csv" + shard_suffix)
 
     n_done = 0
     file_mode = "w"
@@ -155,9 +181,16 @@ def run_inference(
 
     def sites_to_score():
         it = dataset.iter_sites()
-        for _ in range(n_done):
+        skip = global_offset + n_done
+        for _ in range(skip):
             next(it)
-        yield from it
+        produced = 0
+        limit = None if n_total_sites is None else n_total_sites - n_done
+        for site in it:
+            if limit is not None and produced >= limit:
+                return
+            produced += 1
+            yield site
 
     with open(site_path, file_mode, encoding="utf-8") as f_site, open(
         indiv_path, file_mode, encoding="utf-8"
@@ -179,20 +212,21 @@ def run_inference(
             pack_sites(sites_to_score(), read_capacity=read_capacity, site_capacity=site_capacity),
         ):
             with timer.stage("dispatch"):
-                site_keys = site_ops.make_site_keys(
-                    base_key, jnp.asarray(batch.global_ids + n_done)
+                global_ids = batch.global_ids + n_done + global_offset
+                args = (
+                    batch.features, batch.kmer_ids, batch.site_ids,
+                    batch.offsets, batch.counts, global_ids,
                 )
-                args = (batch.features, batch.kmer_ids, batch.site_ids, batch.offsets, batch.counts)
                 if mesh is not None:
-                    features, kmer_ids, site_ids = (
+                    args = (
                         jax.device_put(batch.features, read_shard),
                         jax.device_put(batch.kmer_ids, read_shard),
                         jax.device_put(batch.site_ids, read_shard),
+                        jax.device_put(batch.offsets, repl),
+                        jax.device_put(batch.counts, repl),
+                        jax.device_put(global_ids, repl),
                     )
-                    offsets = jax.device_put(batch.offsets, repl)
-                    counts = jax.device_put(batch.counts, repl)
-                    args = (features, kmer_ids, site_ids, offsets, counts)
-                result = step(params, *args, site_keys)
+                result = step(params, *args, base_key)
                 inflight.append((batch, result))
             if len(inflight) >= pipeline_depth:
                 drain_one()
@@ -242,3 +276,23 @@ def _prepare_resume(site_path: str, indiv_path: str) -> int:
             offset += len(line)
         f.truncate(offset)
     return n_done
+
+
+def merge_host_shards(out_dir: str, n_hosts: int) -> None:
+    """Concatenate per-host CSV shards into the final output files.
+
+    Host-side merge keeps the reference's append-only CSV contract — no
+    device gathers of strings (SURVEY.md §5 distributed notes).
+    """
+    for name, header in (
+        ("data.site_proba.csv", SITE_HEADER),
+        ("data.indiv_proba.csv", INDIV_HEADER),
+    ):
+        with open(os.path.join(out_dir, name), "w", encoding="utf-8") as out:
+            out.write(header)
+            for host in range(n_hosts):
+                shard = os.path.join(out_dir, f"{name}.shard{host}")
+                with open(shard, "r", encoding="utf-8") as f:
+                    f.readline()  # strip shard header
+                    for line in f:
+                        out.write(line)

@@ -46,7 +46,8 @@ def argparser():
     parser.add_argument("--num_iterations", default=1000, type=int,
                         help="number of sampling iterations (mc mode only).")
     parser.add_argument("--device", default="tpu", type=str,
-                        help="compatibility no-op; jax selects the platform.")
+                        help="jax platform to run on ('tpu' default; 'cpu' forces "
+                             "the CPU backend).")
     parser.add_argument("--seed", default=0, type=int, help="random seed for mc sampling.")
     parser.add_argument("--read_proba_threshold", default=DEFAULT_READ_THRESHOLD, type=float,
                         help="probability threshold for a read to be considered modified.")
@@ -68,6 +69,13 @@ def argparser():
     parser.add_argument("--columnar", default=False, action="store_true",
                         help="read the columnar site store instead of data.json "
                              "(requires dataprep --format columnar).")
+    parser.add_argument("--distributed", default=False, action="store_true",
+                        help="multi-host mode: jax.distributed.initialize(), shard "
+                             "the site index by process index, write per-host CSV "
+                             "shards (host 0 merges at the end).")
+    parser.add_argument("--host_shard", nargs=2, type=int, default=None,
+                        metavar=("HOST_ID", "N_HOSTS"),
+                        help="manual host shard (alternative to --distributed).")
     return parser
 
 
@@ -104,6 +112,12 @@ def main(args):
     import tomllib
 
     import jax
+
+    if getattr(args, "device", "tpu") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    if getattr(args, "distributed", False):
+        jax.distributed.initialize()
 
     jax.devices()  # initialise the backend before any torch import
 
@@ -142,6 +156,12 @@ def main(args):
             root_dir, min_reads=args.min_reads, norm_path=norm_path, mode="Inference"
         )
 
+    host_shard = None
+    if getattr(args, "distributed", False):
+        host_shard = (jax.process_index(), jax.process_count())
+    elif getattr(args, "host_shard", None):
+        host_shard = tuple(args.host_shard)
+
     run_inference(
         model,
         params,
@@ -155,4 +175,15 @@ def main(args):
         site_capacity=args.site_capacity,
         backend=getattr(args, "backend", "xla"),
         resume=getattr(args, "resume", False),
+        host_shard=host_shard,
     )
+
+    if getattr(args, "distributed", False):
+        # all hosts finish, then host 0 merges the CSV shards
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("m6anet_tpu_inference_done")
+        if jax.process_index() == 0:
+            from ..inference.engine import merge_host_shards
+
+            merge_host_shards(args.out_dir, jax.process_count())

@@ -20,7 +20,8 @@ def argparser():
     parser.add_argument("--train_config", required=True, help="path to training config file.")
     parser.add_argument("--save_dir", required=True, help="directory to output training results.")
     parser.add_argument("--device", default="tpu", type=str,
-                        help="compatibility no-op; jax selects the platform.")
+                        help="jax platform to run on ('tpu' default; 'cpu' forces "
+                             "the CPU backend).")
     parser.add_argument("--lr", default=4e-4, type=float, help="training learning rate.")
     parser.add_argument("--seed", default=25, type=int, help="random seed for training.")
     parser.add_argument("--epochs", default=50, type=int, help="number of training epochs.")
@@ -45,6 +46,9 @@ def argparser():
 
 def main(args):
     import jax
+
+    if getattr(args, "device", "tpu") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     jax.devices()  # initialise backend first (see tests/conftest.py note)
 

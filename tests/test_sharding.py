@@ -64,3 +64,27 @@ def test_host_shard_bounds():
     for s, e in spans:
         covered.extend(range(s, e))
     assert covered == list(range(10))
+
+
+def test_host_sharded_inference_merges_to_single_host_result(production_model, tmp_path):
+    """3 host shards + merge == single-host run (placement-invariant keys)."""
+    from m6anet_tpu.inference.engine import merge_host_shards
+
+    model, params = production_model
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    ds = build_dataset(DATA_DIR, min_reads=DEFAULT_MIN_READS, norm_path=norm, mode="Inference")
+
+    single = tmp_path / "single"
+    run_inference(model, params, ds, str(single), read_proba_threshold=thr, method="mc",
+                  num_iterations=50, seed=3)
+
+    sharded = tmp_path / "sharded"
+    for host in range(3):
+        run_inference(model, params, ds, str(sharded), read_proba_threshold=thr, method="mc",
+                      num_iterations=50, seed=3, host_shard=(host, 3))
+    merge_host_shards(str(sharded), 3)
+
+    for name in ("data.site_proba.csv", "data.indiv_proba.csv"):
+        a = pd.read_csv(single / name)
+        b = pd.read_csv(sharded / name)
+        pd.testing.assert_frame_equal(a, b)
