@@ -61,6 +61,33 @@ def featurize_transcript(
     missing toolchain).
     """
     path = eventalign_path or _worker_eventalign_path
+
+    # Preferred path: the whole transcript pipeline in native code (parse,
+    # aggregate, window, DRACH filter, site grouping, JSON rendering).
+    if path is not None:
+        from ..native import native_process_transcript
+
+        processed = native_process_transcript(
+            path, tx_id, read_slices, n_neighbors, min_segment_count, compress, emit_json
+        )
+        if processed is not None:
+            site_pos, site_seq, site_nreads, feats, read_ids, json_lines = processed
+            records: List[SiteRecord] = []
+            off = 0
+            for i in range(len(site_pos)):
+                n = int(site_nreads[i])
+                records.append(
+                    (
+                        int(site_pos[i]),
+                        site_seq[i].decode(),
+                        feats[off : off + n],
+                        read_ids[off : off + n],
+                        json_lines[i] if json_lines is not None else None,
+                    )
+                )
+                off += n
+            return records
+
     native_result = None
     if path is not None:
         from ..native import native_featurize_batch

@@ -190,3 +190,98 @@ def native_featurize_batch(
         out_bounds.copy(),
         out_npos.copy(),
     )
+
+
+def native_process_transcript(
+    eventalign_path: str,
+    tx_id: str,
+    read_slices,  # [(read_index, start, end), ...]
+    window_size: int,
+    min_segment_count: int,
+    compress: bool,
+    emit_json: bool,
+):
+    """Whole-transcript featurization in native code.
+
+    Returns (site_pos, site_seq (S(5+2w)), site_nreads, features (n, 3*(2w+1))
+    float64 in site-major read order, read_ids (n,), json_lines list[str] or
+    None) — or None when the native path is unavailable.
+    """
+    if eventalign_path.endswith(".gz"):
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "ea_process_transcript"):
+        return None
+    import ctypes
+
+    if not hasattr(lib, "_process_configured"):
+        lib.ea_process_transcript.restype = ctypes.c_longlong
+        lib.ea_process_transcript.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_char_p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib._process_configured = True
+
+    starts = np.array([s for _, s, _ in read_slices], dtype=np.int64)
+    ends = np.array([e for _, _, e in read_slices], dtype=np.int64)
+    read_idx = np.array([r for r, _, _ in read_slices], dtype=np.int64)
+    n = len(starts)
+    motifs = _motif_buffer()
+    seq_len = 5 + 2 * window_size
+    nfeat = 3 * (2 * window_size + 1)
+    cap_windows = int((ends - starts).sum() // 30 + n + 16)
+    cap_sites = cap_windows + 1
+    json_cap = (cap_windows * 26 * (nfeat + 1) + cap_sites * (seq_len + 64)) if emit_json else 1
+
+    site_pos = np.empty(cap_sites, np.int64)
+    site_seq = np.empty(cap_sites * seq_len, np.uint8)
+    site_nreads = np.empty(cap_sites, np.int64)
+    feat_out = np.empty(cap_windows * nfeat, np.float64)
+    read_out = np.empty(cap_windows, np.int64)
+    json_buf = ctypes.create_string_buffer(json_cap)
+    json_len = np.zeros(cap_sites, np.int64)
+
+    n_sites = lib.ea_process_transcript(
+        eventalign_path.encode(), tx_id.encode(), starts, ends, read_idx, n,
+        motifs, len(motifs) // 5, window_size, min_segment_count,
+        1 if compress else 0, 1 if emit_json else 0,
+        site_pos, site_seq, site_nreads, feat_out, read_out,
+        json_buf, json_cap, json_len, cap_sites, cap_windows,
+    )
+    if n_sites < 0:
+        return None
+    n_sites = int(n_sites)
+    total_rows = int(site_nreads[:n_sites].sum()) if n_sites else 0
+    json_lines = None
+    if emit_json:
+        raw = json_buf.raw
+        json_lines = []
+        off = 0
+        for i in range(n_sites):
+            ln = int(json_len[i])
+            json_lines.append(raw[off : off + ln].decode())
+            off += ln
+    return (
+        site_pos[:n_sites].copy(),
+        site_seq[: n_sites * seq_len].view(f"S{seq_len}").copy(),
+        site_nreads[:n_sites].copy(),
+        feat_out[: total_rows * nfeat].reshape(-1, nfeat).copy(),
+        read_out[:total_rows].copy(),
+        json_lines,
+    )

@@ -410,3 +410,162 @@ long long ea_featurize_batch(const char* path, const int64_t* starts,
 }
 
 }  // extern "C"
+
+#include <charconv>
+#include <unordered_map>
+
+namespace {
+
+// shortest-round-trip double -> chars (std::to_chars / Ryu), parse-equal to
+// python repr output
+static inline char* fmt_double(char* p, double v) {
+  auto res = std::to_chars(p, p + 32, v);
+  return res.ptr;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Whole per-transcript featurization: parse + aggregate + window + DRACH
+// filter + per-site grouping + (optional) data.json line rendering.
+//
+// Inputs:
+//   tx_id, tx_len          transcript id string (for JSON rendering)
+//   starts/ends/read_idx   n_reads byte ranges + read indices, in
+//                          eventalign.index order (duplicate read_idx: last
+//                          occurrence wins, reads with <2 aggregated
+//                          positions are dropped)
+//   motifs/n_motifs, w     DRACH set and neighbour radius
+//   min_segment_count      minimum reads per emitted site
+//   compress               round features to 3 decimals
+//   emit_json              render data.json lines into json_out
+// Outputs (caller-allocated):
+//   site_pos   int64[cap_sites]
+//   site_seq   uint8[cap_sites*(5+2w)]
+//   site_nreads int64[cap_sites]
+//   feat_out   double[cap_windows*3*(2w+1)]  site-major, read order preserved
+//   read_out   int64[cap_windows]
+//   json_out   char[json_cap]; json_len int64[cap_sites] per-site line length
+// Returns number of sites, or -1 I/O error, -2 buffer overflow.
+long long ea_process_transcript(
+    const char* path, const char* tx_id, const int64_t* starts,
+    const int64_t* ends, const int64_t* read_idx, int64_t n_reads,
+    const uint8_t* motifs, int64_t n_motifs, int64_t w,
+    int64_t min_segment_count, int32_t compress, int32_t emit_json,
+    int64_t* site_pos, uint8_t* site_seq, int64_t* site_nreads,
+    double* feat_out, int64_t* read_out, char* json_out, int64_t json_cap,
+    int64_t* json_len, int64_t cap_sites, int64_t cap_windows) {
+  const int64_t width = 2 * w + 1;
+  const int64_t nfeat = 3 * width;
+  const int64_t seq_len = 5 + 2 * w;
+
+  // pass 1: fused featurize into scratch buffers
+  std::vector<int64_t> wpos(static_cast<size_t>(cap_windows));
+  std::vector<uint8_t> wseq(static_cast<size_t>(cap_windows * seq_len));
+  std::vector<double> wfeat(static_cast<size_t>(cap_windows * nfeat));
+  std::vector<int64_t> wbounds(static_cast<size_t>(n_reads + 1));
+  std::vector<int64_t> npos(static_cast<size_t>(n_reads));
+  long long total = ea_featurize_batch(path, starts, ends, n_reads, motifs,
+                                       n_motifs, w, wpos.data(), wseq.data(),
+                                       wfeat.data(), wbounds.data(),
+                                       npos.data(), cap_windows);
+  if (total < 0) return total;
+
+  // duplicate read_index: last occurrence wins
+  std::unordered_map<int64_t, int64_t> last;
+  last.reserve(static_cast<size_t>(n_reads) * 2);
+  for (int64_t r = 0; r < n_reads; ++r) last[read_idx[r]] = r;
+
+  // gather kept windows (read order preserved)
+  std::vector<int64_t> kept;  // window indices
+  std::vector<int64_t> kept_read;
+  kept.reserve(static_cast<size_t>(total));
+  kept_read.reserve(static_cast<size_t>(total));
+  for (int64_t r = 0; r < n_reads; ++r) {
+    if (npos[r] <= 1) continue;
+    if (last[read_idx[r]] != r) continue;
+    for (int64_t i = wbounds[r]; i < wbounds[r + 1]; ++i) {
+      kept.push_back(i);
+      kept_read.push_back(read_idx[r]);
+    }
+  }
+  const int64_t n_kept = static_cast<int64_t>(kept.size());
+  if (n_kept == 0) return 0;
+
+  // stable sort window order by position (keeps read order within a site)
+  std::vector<int64_t> order(static_cast<size_t>(n_kept));
+  for (int64_t i = 0; i < n_kept; ++i) order[i] = i;
+  std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    return wpos[kept[a]] < wpos[kept[b]];
+  });
+
+  const double round3 = 1000.0;
+  long long n_sites = 0;
+  int64_t cursor = 0;  // window rows emitted
+  char* jp = json_out;
+  char* jend = json_out + json_cap;
+
+  int64_t i = 0;
+  while (i < n_kept) {
+    int64_t j = i;
+    const int64_t pos = wpos[kept[order[i]]];
+    while (j < n_kept && wpos[kept[order[j]]] == pos) ++j;
+    const int64_t cnt = j - i;
+    if (cnt < min_segment_count) {
+      i = j;
+      continue;
+    }
+    if (n_sites >= cap_sites || cursor + cnt > cap_windows) return -2;
+
+    const uint8_t* seq = wseq.data() + kept[order[i]] * seq_len;
+    site_pos[n_sites] = pos;
+    memcpy(site_seq + n_sites * seq_len, seq, static_cast<size_t>(seq_len));
+    site_nreads[n_sites] = cnt;
+
+    char* line_start = jp;
+    if (emit_json) {
+      if (jend - jp < 64 + seq_len) return -2;
+      jp += snprintf(jp, static_cast<size_t>(jend - jp), "{\"%s\":{\"%lld\":{\"%.*s\":[",
+                     tx_id, static_cast<long long>(pos),
+                     static_cast<int>(seq_len), reinterpret_cast<const char*>(seq));
+    }
+    for (int64_t k = i; k < j; ++k) {
+      const int64_t win = kept[order[k]];
+      const double* src = wfeat.data() + win * nfeat;
+      double* dst = feat_out + cursor * nfeat;
+      for (int64_t c = 0; c < nfeat; ++c) {
+        double v = src[c];
+        if (compress) v = rint(v * round3) / round3;
+        dst[c] = v;
+      }
+      read_out[cursor] = kept_read[order[k]];
+      if (emit_json) {
+        if (jend - jp < 32 * (nfeat + 2) + 8) return -2;
+        *jp++ = '[';
+        for (int64_t c = 0; c < nfeat; ++c) {
+          jp = fmt_double(jp, dst[c]);
+          *jp++ = ',';
+        }
+        // read id serialised as float for reference parity ("123.0")
+        jp = fmt_double(jp, static_cast<double>(kept_read[order[k]]));
+        *jp++ = '.';
+        *jp++ = '0';
+        *jp++ = ']';
+        if (k + 1 < j) *jp++ = ',';
+      }
+      ++cursor;
+    }
+    if (emit_json) {
+      if (jend - jp < 8) return -2;
+      memcpy(jp, "]}}}\n", 5);
+      jp += 5;
+      json_len[n_sites] = static_cast<int64_t>(jp - line_start);
+    }
+    ++n_sites;
+    i = j;
+  }
+  return n_sites;
+}
+
+}  // extern "C"
