@@ -106,6 +106,8 @@ class SiteDataset:
 
         # train-mode read subsampling source; swap for reproducibility
         self.rng = np.random
+        self._norm_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        self._kmer_id_cache: Dict[str, np.ndarray] = {}
 
     # -------------------------------------------------------------- init bits
     def _initialize_data_info(self):
@@ -116,6 +118,11 @@ class SiteDataset:
             data_info = data_info[data_info["set_type"] == self.mode].reset_index(drop=True)
         self.data_fpath = os.path.join(self.root_dir, "data.json")
         self.data_info = data_info[data_info["n_reads"] >= self.min_reads].reset_index(drop=True)
+        # plain-array row access (pandas .iloc per site dominates otherwise)
+        self._tx_arr = self.data_info["transcript_id"].to_numpy()
+        self._pos_arr = self.data_info["transcript_position"].to_numpy()
+        self._start_arr = self.data_info["start"].to_numpy()
+        self._end_arr = self.data_info["end"].to_numpy()
 
     def _compute_norm_factors(self, n_processes: int) -> NormDict:
         if len(self.data_info) == 0:
@@ -135,14 +142,29 @@ class SiteDataset:
 
     # ------------------------------------------------------------------ access
     @staticmethod
-    def _load_payload(fpath: str, tx_id: str, tx_pos: int, start: int, end: int, handle=None):
+    def _load_payload(fpath: str, tx_id: str, tx_pos: int, start: int, end: int, handle=None, n_cols=None):
+        """Read one site payload.
+
+        When the feature width is known (``n_cols``), parsing goes through the
+        native data.json parser (m6anet_tpu/native/ea_parse_site_json) — an
+        order of magnitude faster than json.loads on the float-heavy lines —
+        with stdlib json as the fallback.
+        """
         if handle is None:
-            with open(fpath, "r", encoding="utf-8") as f:
+            with open(fpath, "rb") as f:
                 f.seek(start)
                 raw = f.read(end - start)
         else:
             handle.seek(start)
             raw = handle.read(end - start)
+        if isinstance(raw, str):
+            raw = raw.encode()
+        if n_cols is not None:
+            from ..native import native_parse_site_json
+
+            parsed = native_parse_site_json(raw, n_cols)
+            if parsed is not None:
+                return parsed
         payload = json.loads(raw)[tx_id][str(int(tx_pos))]
         assert len(payload) == 1
         seq, features = next(iter(payload.items()))
@@ -158,10 +180,17 @@ class SiteDataset:
         kmers = [sub_seq[i : i + 5] for i in range(self.n_positions)]
 
         if self.norm_dict:
-            mean, std = site_norm_vectors(self.norm_dict, sub_seq, self.n_positions)
+            cached = self._norm_cache.get(sub_seq)
+            if cached is None:
+                cached = site_norm_vectors(self.norm_dict, sub_seq, self.n_positions)
+                self._norm_cache[sub_seq] = cached
+            mean, std = cached
             features = (features - mean) / std
 
-        kmer_ids = np.array([KMER_TO_INT[k] for k in kmers], dtype=np.int32)
+        kmer_ids = self._kmer_id_cache.get(sub_seq)
+        if kmer_ids is None:
+            kmer_ids = np.array([KMER_TO_INT[k] for k in kmers], dtype=np.int32)
+            self._kmer_id_cache[sub_seq] = kmer_ids
         return Site(
             tx_id=tx_id,
             tx_pos=int(tx_pos),
@@ -173,16 +202,19 @@ class SiteDataset:
         )
 
     def get_site(self, idx: int, handle=None) -> Site:
-        row = self.data_info.iloc[idx]
+        tx_id = self._tx_arr[idx]
+        tx_pos = self._pos_arr[idx]
+        n_cols = 3 * (2 * self.total_neighboring_features + 1) + 1
         seq, raw = self._load_payload(
-            self.data_fpath, row["transcript_id"], row["transcript_position"], row["start"], row["end"], handle
+            self.data_fpath, tx_id, tx_pos,
+            self._start_arr[idx], self._end_arr[idx], handle, n_cols=n_cols,
         )
-        label = None if self.mode == "Inference" else int(row["modification_status"])
-        return self._site_from_payload(row["transcript_id"], row["transcript_position"], seq, raw, label)
+        label = None if self.mode == "Inference" else int(self.labels[idx])
+        return self._site_from_payload(tx_id, tx_pos, seq, raw, label)
 
     def iter_sites(self) -> Iterator[Site]:
         """Stream sites in data.info order with one persistent file handle."""
-        with open(self.data_fpath, "r", encoding="utf-8") as f:
+        with open(self.data_fpath, "rb") as f:
             for idx in range(len(self)):
                 yield self.get_site(idx, handle=f)
 
@@ -300,9 +332,11 @@ class ReplicateSiteDataset(SiteDataset):
         all_feats: List[np.ndarray] = []
         all_reads: List[str] = []
         seq0 = None
+        n_cols = 3 * (2 * self.total_neighboring_features + 1) + 1
         for (start, end), d in zip(row["coords"], row["fpath"]):
             seq, raw = self._load_payload(
-                os.path.join(d, "data.json"), row["transcript_id"], row["transcript_position"], start, end
+                os.path.join(d, "data.json"), row["transcript_id"], row["transcript_position"],
+                start, end, n_cols=n_cols,
             )
             if seq0 is None:
                 seq0 = seq

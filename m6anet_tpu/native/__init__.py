@@ -285,3 +285,34 @@ def native_process_transcript(
         read_out[:total_rows].copy(),
         json_lines,
     )
+
+
+def native_parse_site_json(raw: bytes, n_cols: int):
+    """Parse one data.json site line natively.
+
+    Returns (kmer str, features (rows, n_cols) float64) or None when the
+    native library is unavailable (caller falls back to json.loads).
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ea_parse_site_json"):
+        return None
+    import ctypes
+
+    if not hasattr(lib, "_parse_configured"):
+        lib.ea_parse_site_json.restype = ctypes.c_longlong
+        lib.ea_parse_site_json.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib._parse_configured = True
+
+    # rows are >= ~10 bytes each; generous cap
+    cap_rows = len(raw) // (2 * n_cols) + 4
+    out = np.empty((cap_rows, n_cols), np.float64)
+    kmer_buf = ctypes.create_string_buffer(32)
+    rows = lib.ea_parse_site_json(raw, len(raw), out, cap_rows, n_cols, kmer_buf, 32)
+    if rows < 0:
+        return None
+    return kmer_buf.value.decode(), out[: int(rows)].copy()

@@ -569,3 +569,65 @@ long long ea_process_transcript(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Specialised parser for one data.json site line:
+//   {"<tx>":{"<pos>":{"<kmer>":[[f,f,...,f],[...],...]}}}
+// Fills out_feat (row-major, n_cols per row) and returns the row count;
+// writes the k-mer context into out_kmer (<= 32 bytes, NUL-terminated).
+// Returns -1 on malformed input, -2 on overflow.
+long long ea_parse_site_json(const char* buf, int64_t len, double* out_feat,
+                             int64_t cap_rows, int64_t n_cols,
+                             char* out_kmer, int64_t kmer_cap) {
+  const char* p = buf;
+  const char* end = buf + len;
+  // third '"'-quoted string is the kmer: skip tx and pos keys
+  int quotes = 0;
+  const char* kstart = nullptr;
+  while (p < end) {
+    if (*p == '"') {
+      ++quotes;
+      if (quotes == 5) {  // opening quote of the kmer key
+        kstart = p + 1;
+      } else if (quotes == 6) {
+        int64_t klen = p - kstart;
+        if (klen >= kmer_cap) return -1;
+        memcpy(out_kmer, kstart, static_cast<size_t>(klen));
+        out_kmer[klen] = '\0';
+        ++p;
+        break;
+      }
+    }
+    ++p;
+  }
+  if (kstart == nullptr) return -1;
+  // advance to the first '[' of the array-of-arrays
+  while (p < end && *p != '[') ++p;
+  if (p >= end) return -1;
+  ++p;  // inside outer array
+
+  long long rows = 0;
+  while (p < end) {
+    while (p < end && (*p == ',' || *p == ' ')) ++p;
+    if (p >= end || *p == ']') break;  // outer array closed
+    if (*p != '[') return -1;
+    ++p;
+    if (rows >= cap_rows) return -2;
+    double* row = out_feat + rows * n_cols;
+    for (int64_t c = 0; c < n_cols; ++c) {
+      while (p < end && (*p == ',' || *p == ' ')) ++p;
+      char* next = nullptr;
+      row[c] = strtod(p, &next);
+      if (next == p) return -1;
+      p = next;
+    }
+    while (p < end && *p != ']') ++p;
+    if (p >= end) return -1;
+    ++p;  // close row
+    ++rows;
+  }
+  return rows;
+}
+
+}  // extern "C"
