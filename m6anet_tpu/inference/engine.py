@@ -91,6 +91,8 @@ def make_infer_step(
 
 
 def _write_batch(batch: SiteBatch, p, site_p, mod_ratio, f_site, f_indiv):
+    from ..native import native_render_indiv_csv
+
     p = np.asarray(p)
     site_p = np.asarray(site_p)
     mod_ratio = np.asarray(mod_ratio)
@@ -102,8 +104,14 @@ def _write_batch(batch: SiteBatch, p, site_p, mod_ratio, f_site, f_indiv):
             % (site.tx_id, site.tx_pos, n, site_p[i], site.center_kmer, mod_ratio[i])
         )
         reads = site.read_ids
-        for r in range(n):
-            f_indiv.write("%s,%d,%s,%.16f\n" % (site.tx_id, site.tx_pos, reads[r], p[start + r]))
+        prefix = f"{site.tx_id},{site.tx_pos},".encode()
+        block = native_render_indiv_csv(prefix, reads, p[start : start + n])
+        if block is None:  # string read ids (replicates) or no native lib
+            block = "".join(
+                "%s,%d,%s,%.16f\n" % (site.tx_id, site.tx_pos, reads[r], p[start + r])
+                for r in range(n)
+            ).encode()
+        f_indiv.write(block)
 
 
 def run_inference(
@@ -192,12 +200,13 @@ def run_inference(
             produced += 1
             yield site
 
+    # indiv file is binary: its rows are rendered natively as bytes
     with open(site_path, file_mode, encoding="utf-8") as f_site, open(
-        indiv_path, file_mode, encoding="utf-8"
+        indiv_path, file_mode + "b"
     ) as f_indiv:
         if file_mode == "w":
             f_site.write(SITE_HEADER)
-            f_indiv.write(INDIV_HEADER)
+            f_indiv.write(INDIV_HEADER.encode())
 
         inflight: deque = deque()
 

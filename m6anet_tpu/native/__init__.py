@@ -316,3 +316,38 @@ def native_parse_site_json(raw: bytes, n_cols: int):
     if rows < 0:
         return None
     return kmer_buf.value.decode(), out[: int(rows)].copy()
+
+
+def native_render_indiv_csv(prefix: bytes, read_ids: np.ndarray, probs: np.ndarray):
+    """Render one site's indiv-probability CSV rows natively.
+
+    Returns bytes, or None when unavailable (string read ids, no library).
+    """
+    if read_ids.dtype != np.int64:
+        return None
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ea_render_indiv_csv"):
+        return None
+    import ctypes
+
+    if not hasattr(lib, "_render_configured"):
+        lib.ea_render_indiv_csv.restype = ctypes.c_longlong
+        lib.ea_render_indiv_csv.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib._render_configured = True
+    n = len(read_ids)
+    cap = (len(prefix) + 64) * n + 16
+    buf = ctypes.create_string_buffer(cap)
+    written = lib.ea_render_indiv_csv(
+        prefix, len(prefix),
+        np.ascontiguousarray(read_ids),
+        np.ascontiguousarray(probs, dtype=np.float32),
+        n, buf, cap,
+    )
+    if written < 0:
+        return None
+    return buf.raw[: int(written)]

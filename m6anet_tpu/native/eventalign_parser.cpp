@@ -631,3 +631,26 @@ long long ea_parse_site_json(const char* buf, int64_t len, double* out_feat,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Render one site's indiv_proba CSV block:
+//   "<prefix><read_id>,<prob %.16f>\n" for each read.
+// Returns bytes written, or -2 on overflow.
+long long ea_render_indiv_csv(const char* prefix, int64_t prefix_len,
+                              const int64_t* read_ids, const float* probs,
+                              int64_t n, char* out, int64_t cap) {
+  char* p = out;
+  char* end = out + cap;
+  for (int64_t i = 0; i < n; ++i) {
+    if (end - p < prefix_len + 64) return -2;
+    memcpy(p, prefix, static_cast<size_t>(prefix_len));
+    p += prefix_len;
+    p += snprintf(p, static_cast<size_t>(end - p), "%lld,%.16f\n",
+                  static_cast<long long>(read_ids[i]),
+                  static_cast<double>(probs[i]));
+  }
+  return static_cast<long long>(p - out);
+}
+
+}  // extern "C"
