@@ -215,11 +215,13 @@ def run_inference(
             with timer.stage("write"):
                 _write_batch(batch, *fut, f_site=f_site, f_indiv=f_indiv)
 
-        for batch in _timed_iter(
-            timer,
-            "featurize+pack",
+        from ..data.prefetch import threaded_iter
+
+        batches = threaded_iter(
             pack_sites(sites_to_score(), read_capacity=read_capacity, site_capacity=site_capacity),
-        ):
+            depth=pipeline_depth + 1,
+        )
+        for batch in _timed_iter(timer, "featurize+pack", batches):
             with timer.stage("dispatch"):
                 global_ids = batch.global_ids + n_done + global_offset
                 args = (
