@@ -55,14 +55,38 @@ def make_infer_step(
     """
     if method not in ("exact", "mc"):
         raise ValueError(f"site_proba method must be 'exact' or 'mc', got {method!r}")
-    if backend not in ("xla", "pallas"):
-        raise ValueError(f"backend must be 'xla' or 'pallas', got {backend!r}")
+    if backend not in ("xla", "pallas", "pallas_fused"):
+        raise ValueError(
+            f"backend must be 'xla', 'pallas' or 'pallas_fused', got {backend!r}"
+        )
+    if backend == "pallas_fused" and method != "exact":
+        raise ValueError("backend 'pallas_fused' supports only the exact site method")
+
+    # pallas kernels compile for TPU; on the CPU backend they run interpreted
+    interpret = jax.default_backend() == "cpu"
+
+    if backend == "pallas_fused":
+        from ..ops.encoder_kernel import prepare_fused_params
+        from ..ops.fused_infer_kernel import fused_inference
+
+        @partial(jax.jit, donate_argnums=())
+        def fused_step(params, features, kmer_ids, site_ids, offsets, counts, global_ids, base_key):
+            fp = prepare_fused_params(params)
+            p, site_p, mod_ratio = fused_inference(
+                fp, features, kmer_ids, site_ids, counts, threshold, n_samples,
+                interpret=interpret,
+            )
+            return p, site_p, mod_ratio
+
+        return fused_step
 
     if backend == "pallas":
         from ..ops.encoder_kernel import fused_read_probability, prepare_fused_params
 
         def per_read_prob(params, features, kmer_ids):
-            return fused_read_probability(prepare_fused_params(params), features, kmer_ids)
+            return fused_read_probability(
+                prepare_fused_params(params), features, kmer_ids, interpret=interpret
+            )
 
     else:
 

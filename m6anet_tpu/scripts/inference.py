@@ -60,7 +60,7 @@ def argparser():
                         help="sites per device batch (static shape).")
     parser.add_argument("--min_reads", default=DEFAULT_MIN_READS, type=int,
                         help="minimum reads for a site to be scored.")
-    parser.add_argument("--backend", default="xla", choices=["xla", "pallas"],
+    parser.add_argument("--backend", default="xla", choices=["xla", "pallas", "pallas_fused"],
                         help="per-read encoder backend (pallas = fused kernel, "
                              "production architecture only).")
     parser.add_argument("--resume", default=False, action="store_true",

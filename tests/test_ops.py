@@ -94,3 +94,63 @@ def test_fused_kernel_interpret_matches_model(production_model):
         fused_read_probability(fp, jnp.asarray(X), jnp.asarray(K), block_reads=256, interpret=True)
     )
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_fused_inference_kernel_interpret(production_model):
+    """Single-kernel encoder+site-aggregation == XLA reference path."""
+    from m6anet_tpu.constants import DEFAULT_READ_THRESHOLD
+    from m6anet_tpu.ops.encoder_kernel import prepare_fused_params
+    from m6anet_tpu.ops.fused_infer_kernel import fused_inference
+
+    model, params = production_model
+    fp = prepare_fused_params(params)
+    rng = np.random.default_rng(7)
+    N, S = 1024, 64
+    X = rng.normal(size=(N, 9)).astype(np.float32)
+    K = rng.integers(0, 66, size=(N, 3)).astype(np.int32)
+    site_ids = np.full(N, S, np.int32)
+    counts = np.zeros(S, np.int32)
+    cursor = 0
+    for s in range(S):
+        n = int(rng.integers(5, 20))
+        if cursor + n > N:
+            break
+        site_ids[cursor : cursor + n] = s
+        counts[s] = n
+        cursor += n
+
+    p, sp, mr = fused_inference(
+        fp, jnp.asarray(X), jnp.asarray(K), jnp.asarray(site_ids), jnp.asarray(counts),
+        DEFAULT_READ_THRESHOLD, block_reads=256, interpret=True,
+    )
+    p_ref = np.asarray(model.per_read_probability(params, {"X": jnp.asarray(X), "kmer": jnp.asarray(K)}))
+    sp_ref = np.asarray(
+        site_ops.site_probability_exact(jnp.asarray(p_ref), jnp.asarray(site_ids), jnp.asarray(counts), S, 20)
+    )
+    mr_ref = np.asarray(
+        site_ops.mod_ratio_exact(jnp.asarray(p_ref), jnp.asarray(site_ids), jnp.asarray(counts), S, DEFAULT_READ_THRESHOLD)
+    )
+    np.testing.assert_allclose(np.asarray(p), p_ref, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sp), sp_ref, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(mr), mr_ref)
+
+
+def test_engine_pallas_fused_backend_matches_xla(production_model, tmp_path):
+    from m6anet_tpu.constants import DEFAULT_MIN_READS, PRETRAINED_CONFIGS
+    from m6anet_tpu.data.dataset import build_dataset
+    from m6anet_tpu.inference.engine import run_inference
+
+    import pandas as pd
+
+    model, params = production_model
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    ds = build_dataset("/root/reference/m6anet/tests/data", min_reads=DEFAULT_MIN_READS,
+                       norm_path=norm, mode="Inference")
+    run_inference(model, params, ds, str(tmp_path / "x"), read_proba_threshold=thr,
+                  use_mesh=False, backend="xla")
+    run_inference(model, params, ds, str(tmp_path / "f"), read_proba_threshold=thr,
+                  use_mesh=False, backend="pallas_fused")
+    for name in ("data.site_proba.csv", "data.indiv_proba.csv"):
+        a = pd.read_csv(tmp_path / "x" / name)
+        b = pd.read_csv(tmp_path / "f" / name)
+        np.testing.assert_allclose(a["probability_modified"], b["probability_modified"], atol=1e-5)
