@@ -66,25 +66,26 @@ def main():
         config = tomllib.load(f)
     model, params = load_model(config, DEFAULT_MODEL_WEIGHTS)
 
-    # pallas fused backend; fall back to XLA if the kernel path fails
-    backend = "pallas"
-    try:
-        step = make_infer_step(
-            model, site_capacity, DEFAULT_READ_THRESHOLD, backend=backend
-        )
-    except Exception:
-        backend = "xla"
-        step = make_infer_step(model, site_capacity, DEFAULT_READ_THRESHOLD, backend=backend)
-
     host_batches = build_batches(read_capacity=read_capacity, site_capacity=site_capacity)
     dev_batches = [
         tuple(jnp.asarray(a) for a in (f, k, s, o, c)) for f, k, s, o, c, _ in host_batches
     ]
-    site_keys = jnp.zeros((site_capacity, 2), jnp.uint32)
+    global_ids = jnp.arange(site_capacity, dtype=jnp.int32)
+    base_key = jnp.zeros((2,), jnp.uint32)
 
-    # warmup/compile
-    out = step(params, *dev_batches[0], site_keys)
-    jax.block_until_ready(out)
+    # fastest available backend: single fused kernel > fused encoder > XLA
+    step = None
+    for backend in ("pallas_fused", "pallas", "xla"):
+        try:
+            step = make_infer_step(
+                model, site_capacity, DEFAULT_READ_THRESHOLD, backend=backend
+            )
+            out = step(params, *dev_batches[0], global_ids, base_key)  # compile/warmup
+            jax.block_until_ready(out)
+            break
+        except Exception:
+            step = None
+    assert step is not None, "no inference backend compiled"
 
     n_rounds = 6
     total_sites = 0
@@ -92,7 +93,7 @@ def main():
     outs = []
     for _ in range(n_rounds):
         for batch, host in zip(dev_batches, host_batches):
-            outs.append(step(params, *batch, site_keys))
+            outs.append(step(params, *batch, global_ids, base_key))
             total_sites += host[5]
     jax.block_until_ready(outs)
     elapsed = time.perf_counter() - start
