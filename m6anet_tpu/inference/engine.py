@@ -20,10 +20,9 @@ from __future__ import annotations
 import os
 from collections import deque
 from functools import partial
-from typing import Iterator, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..data.batching import DEFAULT_READ_CAPACITY, DEFAULT_SITE_CAPACITY, SiteBatch, pack_sites

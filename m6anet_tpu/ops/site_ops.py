@@ -22,8 +22,6 @@ sampled statistic itself.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

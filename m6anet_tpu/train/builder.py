@@ -7,7 +7,7 @@ from typing import Dict, Tuple
 from ..data.dataset import build_dataset
 from ..data.loader import TrainLoader
 from ..data.samplers import SAMPLER_REGISTRY
-from .losses import build_loss_function  # noqa: F401  (re-exported)
+from .losses import build_loss_function  # noqa: F401  — re-exported for script use
 
 
 def build_mode_dataset(config: Dict, mode: str):

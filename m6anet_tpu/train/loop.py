@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..utils.treeio import save_tree
 from .metrics import get_pr_auc, get_roc_auc
 
 NON_TRAINABLE_KEYS = ("bn_mean", "bn_var")
