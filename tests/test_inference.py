@@ -157,3 +157,44 @@ def test_inference_resume(production_model, tmp_path):
     ai = pd.read_csv(full / "data.indiv_proba.csv")
     bi = pd.read_csv(broken / "data.indiv_proba.csv")
     pd.testing.assert_frame_equal(ai, bi)
+
+
+def test_inference_empty_dataset(production_model, tmp_path):
+    """Zero qualifying sites still produces valid header-only CSVs."""
+    model, params = production_model
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    ds = build_dataset(DATA_DIR, min_reads=10**6, norm_path=norm, mode="Inference")
+    assert len(ds) == 0
+    run_inference(model, params, ds, str(tmp_path), read_proba_threshold=thr)
+    site = pd.read_csv(tmp_path / "data.site_proba.csv")
+    indiv = pd.read_csv(tmp_path / "data.indiv_proba.csv")
+    assert len(site) == 0 and len(indiv) == 0
+    assert list(site.columns) == [
+        "transcript_id", "transcript_position", "n_reads", "probability_modified", "kmer", "mod_ratio",
+    ]
+
+
+def test_inference_small_batches_match_golden(production_model, tmp_path, golden_site_proba):
+    """Multi-batch packing (tiny capacities) produces identical results."""
+    model, params = production_model
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    ds = build_dataset(DATA_DIR, min_reads=DEFAULT_MIN_READS, norm_path=norm, mode="Inference")
+    run_inference(
+        model, params, ds, str(tmp_path), read_proba_threshold=thr,
+        read_capacity=2048, site_capacity=16,
+    )
+    got = _sorted(pd.read_csv(tmp_path / "data.site_proba.csv"), ["transcript_id", "transcript_position"])
+    want = _sorted(pd.read_csv(golden_site_proba), ["transcript_id", "transcript_position"])
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got["probability_modified"], want["probability_modified"], atol=1e-2)
+    np.testing.assert_allclose(got["mod_ratio"], want["mod_ratio"], atol=1e-6)
+
+
+def test_oversized_site_raises(production_model, tmp_path):
+    from m6anet_tpu.data.batching import pack_sites
+
+    model, params = production_model
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    ds = build_dataset(DATA_DIR, min_reads=DEFAULT_MIN_READS, norm_path=norm, mode="Inference")
+    with pytest.raises(ValueError, match="read_capacity"):
+        list(pack_sites(ds.iter_sites(), read_capacity=128, site_capacity=4))
