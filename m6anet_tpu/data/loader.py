@@ -28,6 +28,7 @@ class TrainLoader:
         sampler=None,
         num_workers: int = 4,
         drop_last: bool = False,
+        pad_to_multiple: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -35,6 +36,9 @@ class TrainLoader:
         self.sampler = sampler
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
+        # mesh training shards the batch axis: the final short batch is
+        # wrap-around padded to a device-divisible size
+        self.pad_to_multiple = max(1, pad_to_multiple)
 
     def _epoch_indices(self) -> np.ndarray:
         if self.sampler is not None:
@@ -62,6 +66,11 @@ class TrainLoader:
                 if len(chunk) < bs and self.drop_last:
                     break
                 items = list(pool.map(self._load_one, chunk))
+                m = self.pad_to_multiple
+                if len(items) % m:
+                    target = -(-len(items) // m) * m
+                    reps = -(-target // len(items))
+                    items = (items * reps)[:target]
                 yield {
                     "X": np.stack([it[0] for it in items]).astype(np.float32),
                     "kmer": np.stack([it[1] for it in items]).astype(np.int32),

@@ -156,11 +156,17 @@ def train(
     n_iterations: int = 1,
     seed: int = 0,
     opt_state=None,
+    mesh=None,
 ) -> Tuple[Dict, Dict]:
     """Full training run (reference: m6anet/utils/training_utils.py:61-145).
 
     Pass ``opt_state`` (with ``epoch_increment``) to resume a run restored by
     :func:`m6anet_tpu.train.checkpoint.restore_checkpoint`.
+
+    ``mesh``: a 1-D `jax.sharding.Mesh` enables data-parallel training —
+    parameters/optimizer state replicated, the batch axis sharded, XLA
+    inserting the gradient psum.  Batch sizes must be divisible by the device
+    count (TrainLoader's ``pad_to_multiple`` wrap-pads the final batch).
     """
     del clip_grad
     assert save_per_epoch <= n_epoch
@@ -170,6 +176,27 @@ def train(
     if opt_state is None:
         opt_state = optimizer.init(params)
     rng = jax.random.PRNGKey(seed + epoch_increment)
+
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(mesh, P())
+        batch_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+        params = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), replicated), params)
+        opt_state = jax.tree.map(
+            lambda x: jax.device_put(x, replicated) if hasattr(x, "shape") else x, opt_state
+        )
+
+        raw_step, raw_eval = step, eval_step
+
+        def step(p, o, batch, r):  # noqa: F811 — sharded wrapper
+            batch = {k: jax.device_put(v, batch_sharding) for k, v in batch.items()}
+            return raw_step(p, o, batch, r)
+
+        def eval_step(p, batch):  # noqa: F811
+            batch = {k: jax.device_put(v, batch_sharding) for k, v in batch.items()}
+            return raw_eval(p, batch)
 
     total_time = 0.0
     train_results: Dict = {}

@@ -88,3 +88,41 @@ def test_host_sharded_inference_merges_to_single_host_result(production_model, t
         a = pd.read_csv(single / name)
         b = pd.read_csv(sharded / name)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_mesh_training_runs_and_learns(tmp_path):
+    """Data-parallel training over the 8-device CPU mesh."""
+    import jax
+
+    from m6anet_tpu.constants import DEFAULT_MODEL_CONFIG, DEFAULT_NORM_PATH
+    from m6anet_tpu.data.dataset import SiteDataset
+    from m6anet_tpu.data.loader import TrainLoader
+    from m6anet_tpu.models.mil import MILModel
+    from m6anet_tpu.parallel.mesh import make_mesh
+    from m6anet_tpu.train.loop import make_optimizer, train
+    from m6anet_tpu.train.losses import binary_cross_entropy_loss
+    from m6anet_tpu.utils.config import load_toml
+
+    common = dict(root_dir=DATA_DIR, min_reads=20, norm_path=DEFAULT_NORM_PATH)
+    train_ds = SiteDataset(**common, mode="Train")
+    val_ds = SiteDataset(**common, mode="Val")
+    train_ds.rng = np.random.RandomState(0)
+    val_ds.rng = np.random.RandomState(1)
+
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.flat)
+    assert n_dev == 8
+
+    model = MILModel(load_toml(DEFAULT_MODEL_CONFIG))
+    params = model.init(jax.random.PRNGKey(0))
+    train_dl = TrainLoader(train_ds, batch_size=16, shuffle=True, num_workers=2,
+                           pad_to_multiple=n_dev)
+    val_dl = TrainLoader(val_ds, batch_size=16, num_workers=2, pad_to_multiple=n_dev)
+    optimizer = make_optimizer(lr=4e-3)
+    params, tr, vr = train(
+        model, params, train_dl, val_dl, optimizer, n_epoch=2,
+        loss_fn=binary_cross_entropy_loss, save_dir=None, save_per_epoch=2,
+        n_iterations=1, seed=0, mesh=mesh,
+    )
+    assert np.isfinite(tr["avg_loss"]).all()
+    assert tr["avg_loss"][-1] < tr["avg_loss"][0] * 1.2
