@@ -41,6 +41,9 @@ def argparser():
                         help="checkpoint to resume from: a params .npz, a "
                              "checkpoint directory, or 'auto' to pick the "
                              "latest under save_dir.")
+    parser.add_argument("--use_mesh", default="auto", choices=["auto", "on", "off"],
+                        help="data-parallel training over all local devices "
+                             "(auto = when more than one device is visible).")
     return parser
 
 
@@ -104,6 +107,17 @@ def main(args):
     else:
         params = model.init(jax.random.PRNGKey(args.seed))
 
+    mesh = None
+    use_mesh = getattr(args, "use_mesh", "auto")
+    if use_mesh == "on" or (use_mesh == "auto" and len(jax.devices()) > 1):
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        n_dev = len(mesh.devices.flat)
+        for section in train_config["dataloader"].values():
+            section["pad_to_multiple"] = n_dev
+        print(f"Data-parallel training over {n_dev} devices")
+
     train_dl, val_dl, test_dl = build_dataloader(train_config, args.n_processes)
 
     loss_fn = build_loss_function(dict(train_config["loss_function"]))
@@ -122,6 +136,7 @@ def main(args):
         n_iterations=args.num_iterations,
         seed=args.seed,
         opt_state=opt_state,
+        mesh=mesh,
     )
 
     def _dump_results(results, path):
