@@ -73,13 +73,11 @@ def main():
     global_ids = jnp.arange(site_capacity, dtype=jnp.int32)
     base_key = jnp.zeros((2,), jnp.uint32)
 
-    # Backend order by measured TPU v5e throughput (2026-08-17): XLA fuses
-    # this tiny model best (3.27M sites/s vs 2.88M for the pallas encoder
-    # kernel; the single-kernel pallas_fused path is interpret-validated but
-    # currently fails the platform's remote Mosaic compile).  Later entries
-    # are fallbacks.
+    # Backend order by measured TPU v5e throughput (2026-08-17, tuned block
+    # sizes): pallas encoder kernel 3.86M sites/s > pallas_fused single
+    # kernel 3.56M > XLA 2.78M.  Later entries are fallbacks.
     step = None
-    for backend in ("xla", "pallas", "pallas_fused"):
+    for backend in ("pallas", "pallas_fused", "xla"):
         try:
             step = make_infer_step(
                 model, site_capacity, DEFAULT_READ_THRESHOLD, backend=backend

@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.blocks import BN_EPS, fdot
 
-DEFAULT_BLOCK_READS = 2048
+DEFAULT_BLOCK_READS = 1024
 
 
 class FusedEncoderParams(NamedTuple):

@@ -25,7 +25,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .encoder_kernel import DEFAULT_BLOCK_READS, FusedEncoderParams
+from .encoder_kernel import FusedEncoderParams
+
+# smaller than the encoder-only kernel: the (block, site_capacity) one-hot
+# site matrix dominates VMEM (512*1024*4B = 2 MB fits; 2048 blocks OOM)
+DEFAULT_BLOCK_READS = 512
 
 
 def _fused_infer_kernel(
