@@ -24,7 +24,7 @@ _build_failed = False
 
 def _build() -> bool:
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-pthread",
         _SRC, "-o", _LIB,
     ]
     try:

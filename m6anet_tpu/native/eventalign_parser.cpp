@@ -412,6 +412,7 @@ long long ea_featurize_batch(const char* path, const int64_t* starts,
 }  // extern "C"
 
 #include <charconv>
+#include <thread>
 #include <unordered_map>
 
 namespace {
@@ -460,16 +461,73 @@ long long ea_process_transcript(
   const int64_t nfeat = 3 * width;
   const int64_t seq_len = 5 + 2 * w;
 
-  // pass 1: fused featurize into scratch buffers
+  // pass 1: fused featurize into scratch buffers, threaded over read ranges
   std::vector<int64_t> wpos(static_cast<size_t>(cap_windows));
   std::vector<uint8_t> wseq(static_cast<size_t>(cap_windows * seq_len));
   std::vector<double> wfeat(static_cast<size_t>(cap_windows * nfeat));
   std::vector<int64_t> wbounds(static_cast<size_t>(n_reads + 1));
   std::vector<int64_t> npos(static_cast<size_t>(n_reads));
-  long long total = ea_featurize_batch(path, starts, ends, n_reads, motifs,
-                                       n_motifs, w, wpos.data(), wseq.data(),
-                                       wfeat.data(), wbounds.data(),
-                                       npos.data(), cap_windows);
+  long long total;
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = static_cast<int>(hw ? hw : 1);
+  if (n_threads > 1 && n_reads >= 2 * n_threads) {
+    // each thread featurizes a contiguous read range into private buffers
+    struct Part {
+      std::vector<int64_t> pos, bounds, npos;
+      std::vector<uint8_t> seq;
+      std::vector<double> feat;
+      long long count = 0;
+      int64_t r0 = 0, r1 = 0;
+    };
+    std::vector<Part> parts(static_cast<size_t>(n_threads));
+    std::vector<std::thread> threads;
+    int64_t per = (n_reads + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+      Part& part = parts[static_cast<size_t>(t)];
+      part.r0 = t * per;
+      part.r1 = std::min<int64_t>(part.r0 + per, n_reads);
+      if (part.r0 >= part.r1) { part.count = 0; continue; }
+      int64_t nr = part.r1 - part.r0;
+      int64_t cap = 0;
+      for (int64_t r = part.r0; r < part.r1; ++r) cap += (ends[r] - starts[r]) / 30 + 2;
+      part.pos.resize(static_cast<size_t>(cap));
+      part.seq.resize(static_cast<size_t>(cap * seq_len));
+      part.feat.resize(static_cast<size_t>(cap * nfeat));
+      part.bounds.resize(static_cast<size_t>(nr + 1));
+      part.npos.resize(static_cast<size_t>(nr));
+      threads.emplace_back([&, t]() {
+        Part& pp = parts[static_cast<size_t>(t)];
+        pp.count = ea_featurize_batch(
+            path, starts + pp.r0, ends + pp.r0, pp.r1 - pp.r0, motifs, n_motifs,
+            w, pp.pos.data(), pp.seq.data(), pp.feat.data(), pp.bounds.data(),
+            pp.npos.data(), static_cast<int64_t>(pp.pos.size()));
+      });
+    }
+    for (auto& th : threads) th.join();
+    total = 0;
+    wbounds[0] = 0;
+    for (int t = 0; t < n_threads; ++t) {
+      Part& part = parts[static_cast<size_t>(t)];
+      if (part.count < 0) return part.count;
+      if (total + part.count > cap_windows) return -2;
+      memcpy(wpos.data() + total, part.pos.data(),
+             static_cast<size_t>(part.count) * sizeof(int64_t));
+      memcpy(wseq.data() + total * seq_len, part.seq.data(),
+             static_cast<size_t>(part.count * seq_len));
+      memcpy(wfeat.data() + total * nfeat, part.feat.data(),
+             static_cast<size_t>(part.count * nfeat) * sizeof(double));
+      for (int64_t r = part.r0; r < part.r1; ++r) {
+        wbounds[r + 1] = total + part.bounds[r - part.r0 + 1];
+        npos[r] = part.npos[r - part.r0];
+      }
+      total += part.count;
+    }
+  } else {
+    total = ea_featurize_batch(path, starts, ends, n_reads, motifs,
+                               n_motifs, w, wpos.data(), wseq.data(),
+                               wfeat.data(), wbounds.data(),
+                               npos.data(), cap_windows);
+  }
   if (total < 0) return total;
 
   // duplicate read_index: last occurrence wins

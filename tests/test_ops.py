@@ -154,3 +154,25 @@ def test_engine_pallas_fused_backend_matches_xla(production_model, tmp_path):
         a = pd.read_csv(tmp_path / "x" / name)
         b = pd.read_csv(tmp_path / "f" / name)
         np.testing.assert_allclose(a["probability_modified"], b["probability_modified"], atol=1e-5)
+
+
+def test_engine_pallas_backend_matches_xla(production_model, tmp_path):
+    """Encoder-kernel backend through the full engine (interpret on CPU)."""
+    import pandas as pd
+
+    from m6anet_tpu.constants import DEFAULT_MIN_READS, PRETRAINED_CONFIGS
+    from m6anet_tpu.data.dataset import build_dataset
+    from m6anet_tpu.inference.engine import run_inference
+
+    model, params = production_model
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    ds = build_dataset("/root/reference/m6anet/tests/data", min_reads=DEFAULT_MIN_READS,
+                       norm_path=norm, mode="Inference")
+    run_inference(model, params, ds, str(tmp_path / "x"), read_proba_threshold=thr,
+                  use_mesh=False, backend="xla")
+    run_inference(model, params, ds, str(tmp_path / "p"), read_proba_threshold=thr,
+                  use_mesh=False, backend="pallas")
+    for name in ("data.site_proba.csv", "data.indiv_proba.csv"):
+        a = pd.read_csv(tmp_path / "x" / name)
+        b = pd.read_csv(tmp_path / "p" / name)
+        np.testing.assert_allclose(a["probability_modified"], b["probability_modified"], atol=1e-5)
