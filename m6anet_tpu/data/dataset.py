@@ -212,11 +212,43 @@ class SiteDataset:
         label = None if self.mode == "Inference" else int(self.labels[idx])
         return self._site_from_payload(tx_id, tx_pos, seq, raw, label)
 
-    def iter_sites(self) -> Iterator[Site]:
-        """Stream sites in data.info order with one persistent file handle."""
-        with open(self.data_fpath, "rb") as f:
+    def iter_sites(self, n_threads: int = 1) -> Iterator[Site]:
+        """Stream sites in data.info order.
+
+        Default is a sequential scan with one persistent handle (fastest on
+        few-core hosts; the engine overlaps it with device compute via its
+        prefetch thread).  ``n_threads > 1`` parses payloads on a thread pool
+        with thread-local handles — the native data.json parser releases the
+        GIL, so this scales on many-core hosts.
+        """
+        if n_threads <= 1 or len(self) < 32:
+            with open(self.data_fpath, "rb") as f:
+                for idx in range(len(self)):
+                    yield self.get_site(idx, handle=f)
+            return
+
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        local = threading.local()
+
+        def load(idx):
+            handle = getattr(local, "handle", None)
+            if handle is None:
+                handle = local.handle = open(self.data_fpath, "rb")
+            return self.get_site(idx, handle=handle)
+
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            window = n_threads * 4
+            futures = {}
+            for idx in range(min(window, len(self))):
+                futures[idx] = pool.submit(load, idx)
             for idx in range(len(self)):
-                yield self.get_site(idx, handle=f)
+                site = futures.pop(idx).result()
+                nxt = idx + window
+                if nxt < len(self):
+                    futures[nxt] = pool.submit(load, nxt)
+                yield site
 
     # ------------------------------------------------------- training access
     def sample_reads(self, site: Site) -> Tuple[np.ndarray, np.ndarray]:
