@@ -21,7 +21,7 @@ import numpy as np
 BASELINE_SITES_PER_SEC = 95030 / 408.17
 
 
-def build_batches(n_batches=8, read_capacity=65536, site_capacity=1024, seed=0):
+def build_batches(n_batches=8, read_capacity=524288, site_capacity=8192, seed=0):
     rng = np.random.default_rng(seed)
     batches = []
     for _ in range(n_batches):
@@ -59,14 +59,19 @@ def main():
     from m6anet_tpu.inference.engine import make_infer_step
     from m6anet_tpu.models import load_model
 
-    site_capacity = 1024
-    read_capacity = 65536
+    # Large batches amortize per-dispatch overhead through the platform
+    # relay: measured on v5e 2.3M sites/s at (1024, 64k) vs 20.7M at
+    # (8192, 512k).  HBM cost: ~20 MB inputs per batch.
+    site_capacity = 8192
+    read_capacity = 524288
 
     with open(DEFAULT_MODEL_CONFIG, "rb") as f:
         config = tomllib.load(f)
     model, params = load_model(config, DEFAULT_MODEL_WEIGHTS)
 
-    host_batches = build_batches(read_capacity=read_capacity, site_capacity=site_capacity)
+    host_batches = build_batches(
+        n_batches=4, read_capacity=read_capacity, site_capacity=site_capacity
+    )
     dev_batches = [
         tuple(jnp.asarray(a) for a in (f, k, s, o, c)) for f, k, s, o, c, _ in host_batches
     ]
