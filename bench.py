@@ -61,9 +61,14 @@ def main():
 
     # Large batches amortize per-dispatch overhead through the platform
     # relay: measured on v5e 2.3M sites/s at (1024, 64k) vs 20.7M at
-    # (8192, 512k).  HBM cost: ~20 MB inputs per batch.
-    site_capacity = 8192
-    read_capacity = 524288
+    # (8192, 512k).  HBM cost: ~20 MB inputs per batch.  On the CPU backend
+    # (no TPU attached) fall back to a small shape so the bench stays quick.
+    if jax.default_backend() == "cpu":
+        site_capacity = 1024
+        read_capacity = 65536
+    else:
+        site_capacity = 8192
+        read_capacity = 524288
 
     with open(DEFAULT_MODEL_CONFIG, "rb") as f:
         config = tomllib.load(f)

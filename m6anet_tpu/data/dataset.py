@@ -59,10 +59,14 @@ def _feature_indices(total_w: int, w: int) -> np.ndarray:
 
 
 def _subsequence(sequence: str, total_w: int, w: int) -> str:
-    """Central (2w+5)-mer of the stored context
-    (reference: m6anet/utils/data_utils.py:266-279)."""
+    """Central (2w+5)-mer of the stored (2*total_w+5)-mer context.
+
+    (reference: m6anet/utils/data_utils.py:266-279 — whose slice arithmetic
+    is wrong for total_w > w; that path is unreachable with the reference's
+    shipped data, which always has total_w == 1.  Fixed here.)"""
     if w < total_w:
-        return sequence[total_w - w : 2 * total_w + w + 5]
+        start = total_w - w
+        return sequence[start : start + 2 * w + 5]
     return sequence
 
 

@@ -138,3 +138,122 @@ def test_dataprep_gzip_input(eventalign_fpath, demo_dataprep_dir, tmp_path):
         ["transcript_id", "transcript_position"]
     )
     assert (a["n_reads"].values == b["n_reads"].values).all()
+
+
+def _write_synthetic_eventalign(path, n_reads=30, n_pos=40):
+    """Synthetic eventalign with long consecutive-position runs (the demo
+    fixture only contains 3-position runs around each DRACH site, so it
+    cannot exercise n_neighbors > 1)."""
+    import itertools
+    import random
+
+    rng = random.Random(0)
+    seq = "".join(rng.choice("ACGT") for _ in range(n_pos + 10))
+    # plant DRACH motifs so centers exist
+    for i in range(5, n_pos, 7):
+        seq = seq[:i] + "GGACT" + seq[i + 5 :]
+    with open(path, "w") as f:
+        f.write(
+            "contig\tposition\treference_kmer\tread_index\tstrand\tevent_index\t"
+            "event_level_mean\tevent_stdv\tevent_length\tmodel_kmer\tmodel_mean\t"
+            "model_stdv\tstandardized_level\tstart_idx\tend_idx\n"
+        )
+        for read in range(n_reads):
+            for pos in range(n_pos):
+                kmer = seq[pos : pos + 5]
+                mean = 90 + (pos * 7 + read) % 40 + 0.25
+                f.write(
+                    f"SYNTX.1\t{pos}\t{kmer}\t{read}\tt\t{pos}\t{mean}\t2.5\t0.004\t"
+                    f"{kmer}\t100.0\t3.0\t0.5\t{pos * 10}\t{pos * 10 + 8}\n"
+                )
+
+
+def test_n_neighbors_2_subwindow_consistency(tmp_path):
+    """dataprep with w=2 produces 9-position windows whose central w=1
+    sub-window matches a plain w=1 run (native kernel w generalisation +
+    dataset neighbour sub-selection)."""
+    from m6anet_tpu.data.dataset import SiteDataset
+    from m6anet_tpu.dataprep import run_dataprep
+
+    ev = tmp_path / "synthetic.txt"
+    _write_synthetic_eventalign(str(ev))
+
+    w1 = tmp_path / "w1"
+    w2 = tmp_path / "w2"
+    for out, nn in ((w1, 1), (w2, 2)):
+        run_dataprep(str(ev), str(out), n_processes=1, readcount_min=1,
+                     readcount_max=1000, min_segment_count=1, n_neighbors=nn)
+
+    ds1 = SiteDataset(str(w1), min_reads=1, norm_path=None, num_neighboring_features=1)
+    ds1.norm_dict = None
+    ds2 = SiteDataset(str(w2), min_reads=1, norm_path=None, num_neighboring_features=1)
+    ds2.norm_dict = None
+    assert ds2.total_neighboring_features == 2
+
+    by_key = {(s.tx_id, s.tx_pos): s for s in ds2.iter_sites()}
+    assert len(by_key) >= 3
+    checked = 0
+    for s1 in ds1.iter_sites():
+        s2 = by_key.get((s1.tx_id, s1.tx_pos))
+        if s2 is None:
+            continue  # w=2 needs wider intact flanks
+        assert s2.sequence == s1.sequence
+        i1 = {r: i for i, r in enumerate(s1.read_ids)}
+        i2 = {r: i for i, r in enumerate(s2.read_ids)}
+        for r in list(i1)[:5]:
+            np.testing.assert_allclose(s1.features[i1[r]], s2.features[i2[r]], rtol=1e-9)
+        checked += 1
+    assert checked >= 3
+
+
+def test_native_w2_matches_python(tmp_path):
+    """native fused featurize == python combine+window for w=2."""
+    from m6anet_tpu.dataprep.combine import combine_read
+    from m6anet_tpu.dataprep.windowing import window_read
+    from m6anet_tpu.dataprep.indexer import build_index, read_index
+    from m6anet_tpu.native import native_featurize_batch
+
+    ev = tmp_path / "synthetic.txt"
+    _write_synthetic_eventalign(str(ev))
+    build_index(str(ev), str(tmp_path))
+    rows = read_index(str(tmp_path / "eventalign.index"))
+    starts = np.array([r[2] for r in rows], dtype=np.int64)
+    ends = np.array([r[3] for r in rows], dtype=np.int64)
+    res = native_featurize_batch(str(ev), starts, ends, 2)
+    assert res is not None
+    pos, seq, feat, bounds, npos = res
+    assert len(pos) > 0
+    with open(ev, "rb") as f:
+        for i, (_, s, e) in enumerate([(r[1], r[2], r[3]) for r in rows]):
+            f.seek(s)
+            c = combine_read(f.read(e - s))
+            wres = window_read(c, 2) if c is not None else None
+            n = bounds[i + 1] - bounds[i]
+            if wres is None:
+                assert n == 0
+                continue
+            sl = slice(bounds[i], bounds[i + 1])
+            np.testing.assert_array_equal(pos[sl], wres[0])
+            np.testing.assert_array_equal(seq[sl], wres[1])
+            np.testing.assert_allclose(feat[sl], wres[2], rtol=0, atol=0)
+
+
+def test_malformed_lines_skipped(tmp_path):
+    """Truncated/garbage lines are skipped, valid lines still processed."""
+    from m6anet_tpu.dataprep import run_dataprep
+
+    src = "/root/reference/m6anet/tests/data/eventalign.txt"
+    bad = tmp_path / "bad.txt"
+    with open(src) as f:
+        lines = f.readlines()
+    # inject malformed lines mid-file (short rows; they share the contig of
+    # neighbours so index ranges still cover them)
+    lines.insert(100, "ENST00000361055.8\tgarbage\n")
+    lines.insert(200, "\n")
+    bad.write_text("".join(lines))
+
+    out = tmp_path / "out"
+    run_dataprep(str(bad), str(out), n_processes=1, readcount_min=1,
+                 readcount_max=1000, min_segment_count=1, n_neighbors=1)
+    info = pd.read_csv(out / "data.info")
+    assert len(info) > 200  # bulk of sites still produced
