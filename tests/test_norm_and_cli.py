@@ -130,3 +130,63 @@ def test_cli_help_surfaces():
         with pytest.raises(SystemExit) as exc:
             main([cmd, "--help"])
         assert exc.value.code == 0
+
+
+def test_replicates_partial_overlap(tmp_path):
+    """A site present in only one replicate still pools correctly (outer
+    join, summed n_reads) — reference: data_utils.py:341-375."""
+    from m6anet_tpu.constants import DEFAULT_NORM_PATH
+    from m6anet_tpu.data.dataset import ReplicateSiteDataset, SiteDataset
+
+    # replicate 2 = first half of the demo's data.info only
+    rep = tmp_path / "rep"
+    rep.mkdir()
+    info = pd.read_csv(os.path.join(DATA_DIR, "data.info"))
+    info.iloc[: len(info) // 2].to_csv(rep / "data.info", index=False)
+    import shutil
+
+    shutil.copyfile(os.path.join(DATA_DIR, "data.json"), rep / "data.json")
+
+    ds = ReplicateSiteDataset([DATA_DIR, str(rep)], min_reads=20,
+                              norm_path=DEFAULT_NORM_PATH)
+    single = SiteDataset(DATA_DIR, min_reads=20, norm_path=DEFAULT_NORM_PATH)
+    assert len(ds) >= len(single)
+
+    halved = set(
+        zip(info.iloc[: len(info) // 2]["transcript_id"],
+            info.iloc[: len(info) // 2]["transcript_position"])
+    )
+    doubled = 0
+    for i in range(len(ds)):
+        site = ds.get_site(i)
+        key = (site.tx_id, site.tx_pos)
+        suffixes = {r.split("_")[-1] for r in site.read_ids}
+        if key in halved:
+            assert suffixes == {"0", "1"}
+            doubled += 1
+        else:
+            assert suffixes == {"0"}
+    assert doubled > 0
+
+
+def test_replicate_computed_norm_matches_single(tmp_path):
+    """Norm factors computed over duplicated replicates == single-run values
+    (same mean; streaming accumulation across files)."""
+    import shutil
+
+    from m6anet_tpu.data.dataset import ReplicateSiteDataset, SiteDataset
+
+    rep = tmp_path / "rep"
+    rep.mkdir()
+    for name in ("data.info.labelled", "data.json"):
+        shutil.copyfile(os.path.join(DATA_DIR, name), rep / name)
+
+    single = SiteDataset(DATA_DIR, min_reads=20, norm_path=None, mode="Train")
+    # min_reads doubles under the summed-count filter, so 40 selects the
+    # same site set as the single run at 20
+    double = ReplicateSiteDataset([DATA_DIR, str(rep)], min_reads=40,
+                                  norm_path=None, mode="Train")
+    assert set(single.norm_dict) <= set(double.norm_dict)
+    for k in list(single.norm_dict)[:5]:
+        np.testing.assert_allclose(double.norm_dict[k][0], single.norm_dict[k][0], rtol=1e-9)
+        np.testing.assert_allclose(double.norm_dict[k][1], single.norm_dict[k][1], rtol=1e-6)
