@@ -186,3 +186,77 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     assert float(l1) == float(l2)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_attention_architecture_trains(train_datasets):
+    """A non-production architecture (attention pooling + decoder blocks after
+    the pooling filter) assembles and trains — exercises the decoder path of
+    the model assembler (reference: m6anet/model/model.py:61-69)."""
+    from m6anet_tpu.data.loader import TrainLoader
+    from m6anet_tpu.models.mil import MILModel
+    from m6anet_tpu.train.loop import make_optimizer, train
+    from m6anet_tpu.train.losses import binary_cross_entropy_loss
+
+    config = {
+        "block": [
+            {"block_type": "DeaggregateNanopolish", "num_neighboring_features": 1},
+            {"block_type": "KmerMultipleEmbedding", "input_channel": 66, "output_channel": 2,
+             "num_neighboring_features": 1},
+            {"block_type": "ConcatenateFeatures"},
+            {"block_type": "Linear", "input_channel": 15, "output_channel": 32,
+             "activation": "relu", "batch_norm": True},
+            {"block_type": "Attention", "input_channel": 32, "hidden_layers": [16, 1],
+             "n_reads_per_site": 20},
+            {"block_type": "Linear", "input_channel": 32, "output_channel": 1,
+             "activation": "sigmoid", "batch_norm": False},
+        ]
+    }
+    model = MILModel(config)
+    assert model.decoder, "config must produce a decoder stage"
+    params = model.init(jax.random.PRNGKey(0))
+
+    train_ds, val_ds = train_datasets
+    train_ds.rng = np.random.RandomState(2)
+    val_ds.rng = np.random.RandomState(3)
+    train_dl = TrainLoader(train_ds, batch_size=16, shuffle=True, num_workers=2)
+    val_dl = TrainLoader(val_ds, batch_size=16, num_workers=2)
+
+    optimizer = make_optimizer(lr=2e-3)
+    params, tr, vr = train(
+        model, params, train_dl, val_dl, optimizer, n_epoch=2,
+        loss_fn=binary_cross_entropy_loss, save_dir=None, save_per_epoch=2,
+        n_iterations=1, seed=0,
+    )
+    assert np.isfinite(tr["avg_loss"]).all()
+    assert len(vr["roc_auc"]) == 2
+
+
+def test_summary_stats_probability_architecture_infers():
+    """SummaryStatsProbability pooling: site decoder + read classifier
+    (reference: pooling_blocks.py:291-310)."""
+    from m6anet_tpu.models.mil import MILModel
+
+    config = {
+        "block": [
+            {"block_type": "DeaggregateNanopolish", "num_neighboring_features": 1},
+            {"block_type": "ExtractSignal"},
+            {"block_type": "Linear", "input_channel": 9, "output_channel": 8,
+             "activation": "relu", "batch_norm": False},
+            {"block_type": "SummaryStatsProbability", "input_channel": 8,
+             "n_reads_per_site": 20},
+            {"block_type": "Linear", "input_channel": 40, "output_channel": 1,
+             "activation": "sigmoid", "batch_norm": False},
+        ]
+    }
+    model = MILModel(config)
+    params = model.init(jax.random.PRNGKey(1))
+    batch = {
+        "X": jnp.asarray(np.random.default_rng(0).normal(size=(40, 9)), jnp.float32),
+        "kmer": jnp.zeros((40, 3), jnp.int32),
+    }
+    site, _ = model.site_probability(params, batch)
+    assert site.shape == (2, 1)
+    read_prob = model.read_probability(params, batch)
+    assert read_prob.shape == (2, 20)
+    flat = model.per_read_probability(params, batch)
+    assert flat.shape == (40,)
