@@ -276,28 +276,34 @@ def run_dataprep(
                         ),
                     )
         else:
-            # fork is cheap and needs no __main__ guard, but forking a process
-            # that already holds jax/XLA threads can deadlock — use spawn when
-            # jax has been imported (e.g. inside a test session).
-            import sys
+            # Thread workers, not processes: the native core does the heavy
+            # parsing with the GIL released (and is itself threaded over
+            # reads), so threads scale like processes here — without fork/
+            # spawn hazards (jax-thread deadlocks, __main__ re-execution) or
+            # result pickling.  Ordered completion keeps the writer simple.
+            from concurrent.futures import ThreadPoolExecutor
+            from collections import deque
 
-            method = "spawn" if "jax" in sys.modules else "fork"
-            with ProcessPoolExecutor(
-                max_workers=n_processes,
-                mp_context=multiprocessing.get_context(method),
-                initializer=_worker_init,
-                initargs=(eventalign_path,),
-            ) as pool:
-                pending = set()
+            # outer thread pool provides the parallelism; keep the native
+            # core single-threaded per call to avoid oversubscription
+            os.environ.setdefault("M6A_NATIVE_THREADS", "1")
+
+            def run_task(args):
+                tx_id, slices, nn, msc, comp, ej = args
+                return tx_id, featurize_transcript(
+                    tx_id, slices, nn, msc, comp,
+                    emit_json=ej, eventalign_path=eventalign_path,
+                )
+
+            with ThreadPoolExecutor(max_workers=n_processes) as pool:
+                pending = deque()
                 max_pending = n_processes * 4
                 for args in task_args():
-                    pending.add(pool.submit(_featurize_task, args))
-                    if len(pending) >= max_pending:
-                        done, pending = wait(pending, return_when=FIRST_COMPLETED)
-                        for fut in done:
-                            write_result(*fut.result())
-                for fut in pending:
-                    write_result(*fut.result())
+                    pending.append(pool.submit(run_task, args))
+                    while len(pending) >= max_pending:
+                        write_result(*pending.popleft().result())
+                while pending:
+                    write_result(*pending.popleft().result())
 
     if columnar_writer is not None:
         columnar_writer.finalize()

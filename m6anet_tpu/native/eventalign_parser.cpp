@@ -470,6 +470,10 @@ long long ea_process_transcript(
   long long total;
   unsigned hw = std::thread::hardware_concurrency();
   int n_threads = static_cast<int>(hw ? hw : 1);
+  if (const char* env = getenv("M6A_NATIVE_THREADS")) {
+    int v = atoi(env);
+    if (v >= 1) n_threads = v;
+  }
   if (n_threads > 1 && n_reads >= 2 * n_threads) {
     // each thread featurizes a contiguous read range into private buffers
     struct Part {
