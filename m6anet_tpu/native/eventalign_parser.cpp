@@ -609,10 +609,9 @@ long long ea_process_transcript(
           jp = fmt_double(jp, dst[c]);
           *jp++ = ',';
         }
-        // read id serialised as float for reference parity ("123.0")
-        jp = fmt_double(jp, static_cast<double>(kept_read[order[k]]));
-        *jp++ = '.';
-        *jp++ = '0';
+        // read id serialised as float for reference parity ("123.0");
+        // formatted as integer text to stay exact beyond 2^53
+        jp += snprintf(jp, 32, "%lld.0", static_cast<long long>(kept_read[order[k]]));
         *jp++ = ']';
         if (k + 1 < j) *jp++ = ',';
       }

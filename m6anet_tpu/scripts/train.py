@@ -53,6 +53,19 @@ def main(args):
     if getattr(args, "device", "tpu") == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    # persistent compilation cache: repeat CLI runs skip the 5-30s compile
+    import os as _os
+
+    cache_dir = _os.environ.get(
+        "M6ANET_TPU_CACHE_DIR", _os.path.expanduser("~/.cache/m6anet_tpu/jax")
+    )
+    try:
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is best-effort
+
     jax.devices()  # initialise backend first (see tests/conftest.py note)
 
     import numpy as np

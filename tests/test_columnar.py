@@ -85,3 +85,22 @@ def test_columnar_only_mode(tmp_path, eventalign_fpath):
     assert os.path.exists(os.path.join(tmp_path, "columnar", "meta.json"))
     info = pd.read_csv(os.path.join(tmp_path, "data.info"))
     assert len(info) > 0
+
+
+def test_columnar_training_mode(columnar_dir):
+    """Columnar store + data.info.labelled join: Train-mode access."""
+    import shutil
+
+    shutil.copyfile(
+        "/root/reference/m6anet/tests/data/data.info.labelled",
+        os.path.join(columnar_dir, "data.info.labelled"),
+    )
+    from m6anet_tpu.constants import DEFAULT_NORM_PATH
+    from m6anet_tpu.data.columnar import ColumnarSiteDataset
+
+    ds = ColumnarSiteDataset(columnar_dir, min_reads=20, norm_path=DEFAULT_NORM_PATH, mode="Train")
+    assert len(ds) > 0
+    features, kmers, label = ds[0]
+    assert features.shape == (20, 9)
+    assert kmers.shape == (20, 3)
+    assert label in (0, 1)
