@@ -405,3 +405,25 @@ def build_dataset(
     if isinstance(root_dir, str):
         return SiteDataset(root_dir, **kwargs)
     raise ValueError("Invalid type for argument root_dir")
+
+
+class ConcatSiteDataset:
+    """Disjoint shard concatenation: several dataprep output directories
+    treated as ONE dataset (multi-host dataprep shards; unlike
+    ReplicateSiteDataset the shards cover different transcripts, so read ids
+    are kept as-is and nothing is pooled)."""
+
+    def __init__(self, root_dirs: Sequence[str], **kwargs):
+        self.parts = [SiteDataset(d, **kwargs) for d in root_dirs]
+        self._offsets = np.cumsum([0] + [len(p) for p in self.parts])
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def get_site(self, idx: int) -> Site:
+        part = int(np.searchsorted(self._offsets, idx, side="right")) - 1
+        return self.parts[part].get_site(idx - int(self._offsets[part]))
+
+    def iter_sites(self) -> Iterator[Site]:
+        for part in self.parts:
+            yield from part.iter_sites()

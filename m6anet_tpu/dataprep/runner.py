@@ -208,6 +208,7 @@ def run_dataprep(
     compress: bool = False,
     skip_index: bool = False,
     output_format: str = "json",
+    host_shard=None,
 ) -> None:
     """Full dataprep: index (stage A) + featurize/write (stage B).
 
@@ -216,6 +217,11 @@ def run_dataprep(
     'json' (reference-compatible data.json), 'columnar' (memory-mappable
     store, see m6anet_tpu/data/columnar.py), or 'both'.  data.info is always
     written; in columnar-only mode its start/end byte offsets are zero.
+
+    ``host_shard=(host_id, n_hosts)`` featurizes only this host's contiguous
+    slice of the transcript list (multi-host dataprep: every host runs over
+    the same eventalign + index but writes its own out_dir; the shard
+    directories are consumed together via inference --concat_shards).
     """
     del chunk_size
     if output_format not in ("json", "columnar", "both"):
@@ -233,8 +239,17 @@ def run_dataprep(
     info_path = os.path.join(out_dir, "data.info")
     log_path = os.path.join(out_dir, "data.log")
 
+    tx_filter = None
+    if host_shard is not None:
+        host_id, n_hosts = host_shard
+        all_tx = list(dict.fromkeys(tx for tx, _, _, _ in index_rows))
+        per = -(-len(all_tx) // n_hosts)
+        tx_filter = set(all_tx[host_id * per : (host_id + 1) * per])
+
     def task_args():
         for tx_id, slices in iter_transcript_tasks(index_rows):
+            if tx_filter is not None and tx_id not in tx_filter:
+                continue
             # readcount gates count *attempted* reads, and the reference's
             # post-increment break admits readcount_max + 1 of them
             # (reference: m6anet/utils/dataprep_utils.py:379-390).

@@ -28,6 +28,11 @@ def argparser():
                         help="number of neighboring features to extract.")
     parser.add_argument("--compress", default=False, action="store_true",
                         help="round features to 3 decimals in data.json.")
+    parser.add_argument("--host_shard", nargs=2, type=int, default=None,
+                        metavar=("HOST_ID", "N_HOSTS"),
+                        help="featurize only this host's transcript slice "
+                             "(multi-host dataprep; combine results with "
+                             "inference --concat_shards).")
     parser.add_argument("--format", dest="output_format", default="json",
                         choices=["json", "columnar", "both"],
                         help="site-store format: reference-compatible data.json, "
@@ -51,4 +56,5 @@ def main(args):
         compress=args.compress,
         skip_index=args.skip_index,
         output_format=args.output_format,
+        host_shard=tuple(args.host_shard) if getattr(args, "host_shard", None) else None,
     )

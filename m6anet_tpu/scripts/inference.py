@@ -69,6 +69,10 @@ def argparser():
     parser.add_argument("--columnar", default=False, action="store_true",
                         help="read the columnar site store instead of data.json "
                              "(requires dataprep --format columnar).")
+    parser.add_argument("--concat_shards", default=False, action="store_true",
+                        help="treat multiple --input_dir directories as disjoint "
+                             "dataprep shards (one logical dataset) instead of "
+                             "replicates.")
     parser.add_argument("--distributed", default=False, action="store_true",
                         help="multi-host mode: jax.distributed.initialize(), shard "
                              "the site index by process index, write per-host CSV "
@@ -158,7 +162,13 @@ def main(args):
 
     input_dir = args.input_dir
     root_dir = input_dir[0] if len(input_dir) == 1 else list(input_dir)
-    if getattr(args, "columnar", False):
+    if getattr(args, "concat_shards", False):
+        from ..data.dataset import ConcatSiteDataset
+
+        dataset = ConcatSiteDataset(
+            list(input_dir), min_reads=args.min_reads, norm_path=norm_path, mode="Inference"
+        )
+    elif getattr(args, "columnar", False):
         if not isinstance(root_dir, str):
             raise ValueError("--columnar supports a single input_dir")
         from ..data.columnar import ColumnarSiteDataset

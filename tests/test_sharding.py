@@ -126,3 +126,33 @@ def test_mesh_training_runs_and_learns(tmp_path):
     )
     assert np.isfinite(tr["avg_loss"]).all()
     assert tr["avg_loss"][-1] < tr["avg_loss"][0] * 1.2
+
+
+def test_sharded_dataprep_concat_inference(production_model, eventalign_fpath, tmp_path,
+                                           golden_site_proba):
+    """2-host dataprep shards + concat inference == single-host golden."""
+    from m6anet_tpu.data.dataset import ConcatSiteDataset
+    from m6anet_tpu.dataprep import run_dataprep
+
+    shards = []
+    for host in range(2):
+        out = tmp_path / f"shard{host}"
+        run_dataprep(eventalign_fpath, str(out), n_processes=1, readcount_min=1,
+                     readcount_max=1000, min_segment_count=1, n_neighbors=1,
+                     host_shard=(host, 2))
+        shards.append(str(out))
+
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    model, params = production_model
+    ds = ConcatSiteDataset(shards, min_reads=DEFAULT_MIN_READS, norm_path=norm)
+    out = tmp_path / "merged"
+    run_inference(model, params, ds, str(out), read_proba_threshold=thr, use_mesh=False)
+
+    got = pd.read_csv(out / "data.site_proba.csv").sort_values(
+        ["transcript_id", "transcript_position"]).reset_index(drop=True)
+    want = pd.read_csv(golden_site_proba).sort_values(
+        ["transcript_id", "transcript_position"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["transcript_id"] == want["transcript_id"]).all()
+    np.testing.assert_allclose(got["probability_modified"], want["probability_modified"], atol=1e-2)
+    np.testing.assert_allclose(got["mod_ratio"], want["mod_ratio"], atol=1e-6)
