@@ -117,9 +117,15 @@ def fused_inference(
     import functools
 
     n = features.shape[0]
+    site_cap = counts.shape[0]
+    # VMEM heuristic: the (block, site_capacity) one-hot site matrix is the
+    # dominant transient; keep it near 2 MB (block 2048 @ S=1024 OOMs Mosaic's
+    # 16 MB scoped limit once pipeline double-buffering is added).
+    while block_reads > 256 and block_reads * site_cap * 4 > (2 << 20):
+        block_reads //= 2
     block_reads = min(block_reads, n)
-    if n % block_reads != 0:
-        raise ValueError(f"N={n} must be a multiple of block_reads={block_reads}")
+    while n % block_reads != 0 and block_reads > 1:
+        block_reads //= 2
     grid = (n // block_reads,)
     n_feat = features.shape[1]
     n_pos = kmer_ids.shape[1]
