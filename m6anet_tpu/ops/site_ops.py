@@ -83,15 +83,33 @@ def site_probability_mc(
     ``site_keys`` are per-site PRNG keys (derive them by folding a global
     site index into the run key so results are placement-invariant under any
     sharding).  Sites with count 0 return 0.
+
+    Iterations are processed in fixed chunks under a ``lax.scan`` so peak
+    memory is O(sites * chunk * n_samples) regardless of ``n_iters`` (at
+    8192-site batches the unchunked index tensor alone would be >600 MB).
     """
+    chunk = min(n_iters, 100)
+    n_chunks, rem = divmod(n_iters, chunk)
 
-    def one_site(offset, count, key):
-        idx = jax.random.randint(key, (n_iters, n_samples), 0, jnp.maximum(count, 1))
+    def sample_chunk(key, offset, count, size):
+        idx = jax.random.randint(key, (size, n_samples), 0, jnp.maximum(count, 1))
         probs = p[offset + idx]
-        per_iter = 1.0 - jnp.prod(1.0 - probs, axis=1)
-        return jnp.where(count > 0, jnp.mean(per_iter), 0.0)
+        return jnp.sum(1.0 - jnp.prod(1.0 - probs, axis=1))
 
-    return jax.vmap(one_site)(offsets, counts, site_keys)
+    def scan_body(carry, chunk_idx):
+        def one_site(offset, count, key):
+            return sample_chunk(jax.random.fold_in(key, chunk_idx), offset, count, chunk)
+
+        return carry + jax.vmap(one_site)(offsets, counts, site_keys), None
+
+    total, _ = jax.lax.scan(scan_body, jnp.zeros_like(p, shape=offsets.shape), jnp.arange(n_chunks))
+    if rem:
+        def one_site_rem(offset, count, key):
+            return sample_chunk(jax.random.fold_in(key, n_chunks), offset, count, rem)
+
+        total = total + jax.vmap(one_site_rem)(offsets, counts, site_keys)
+    mean = total / n_iters
+    return jnp.where(counts > 0, mean, 0.0)
 
 
 def make_site_keys(base_key: jnp.ndarray, global_site_ids: jnp.ndarray) -> jnp.ndarray:
