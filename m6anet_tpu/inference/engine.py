@@ -45,12 +45,18 @@ def make_infer_step(
     method: str = "exact",
     n_iterations: int = 1000,
     backend: str = "xla",
+    precision: str = "f32",
 ):
     """Build the jitted per-batch device function.
 
     ``backend='pallas'`` routes the per-read encoder through the fused Pallas
     kernel (production architecture only — BN folded, embedding folded into
     per-position tables; see m6anet_tpu/ops/encoder_kernel.py).
+
+    ``precision='bf16'`` (pallas backend only) runs the encoder matmuls in
+    bfloat16 with f32 accumulation: one MXU pass instead of ~6, at ~1e-3
+    probability error — outside the per-read parity tolerance but well inside
+    the site-level one.  f32 (default) is bit-stable parity mode.
     """
     if method not in ("exact", "mc"):
         raise ValueError(f"site_proba method must be 'exact' or 'mc', got {method!r}")
@@ -60,6 +66,10 @@ def make_infer_step(
         )
     if backend == "pallas_fused" and method != "exact":
         raise ValueError("backend 'pallas_fused' supports only the exact site method")
+    if precision not in ("f32", "bf16"):
+        raise ValueError(f"precision must be 'f32' or 'bf16', got {precision!r}")
+    if precision == "bf16" and backend != "pallas":
+        raise ValueError("precision 'bf16' is supported on the 'pallas' backend")
 
     # pallas kernels compile for TPU; on the CPU backend they run interpreted
     interpret = jax.default_backend() == "cpu"
@@ -80,11 +90,16 @@ def make_infer_step(
         return fused_step
 
     if backend == "pallas":
+        import jax.numpy as jnp
+
         from ..ops.encoder_kernel import fused_read_probability, prepare_fused_params
+
+        compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
         def per_read_prob(params, features, kmer_ids):
             return fused_read_probability(
-                prepare_fused_params(params), features, kmer_ids, interpret=interpret
+                prepare_fused_params(params), features, kmer_ids,
+                interpret=interpret, compute_dtype=compute_dtype,
             )
 
     else:
@@ -152,6 +167,7 @@ def run_inference(
     use_mesh: bool = True,
     pipeline_depth: int = 2,
     backend: str = "xla",
+    precision: str = "f32",
     resume: bool = False,
     host_shard: Optional[Tuple[int, int]] = None,
 ) -> None:
@@ -194,7 +210,8 @@ def run_inference(
         repl = mesh_lib.replicated(mesh)
 
     step = make_infer_step(
-        model, site_capacity, read_proba_threshold, n_samples, method, num_iterations, backend
+        model, site_capacity, read_proba_threshold, n_samples, method, num_iterations,
+        backend, precision,
     )
     # raw threefry key data built on host (no device program): PRNGKey(seed)
     # is (hi, lo) = (seed >> 32, seed & 0xffffffff)

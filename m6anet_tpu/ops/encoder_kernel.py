@@ -73,29 +73,41 @@ def prepare_fused_params(params: Dict, n_features: int = 9, vocab: int = 66) -> 
     )
 
 
-def _encoder_kernel(x_ref, k_ref, w1x_ref, t_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref):
-    vocab_total = t_ref.shape[0]  # (2w+1) * 66
-    n_positions = k_ref.shape[1]
-    vocab = vocab_total // n_positions
-    block = x_ref.shape[0]
+def _make_encoder_kernel(compute_dtype):
+    """Kernel factory: f32 runs every matmul at HIGHEST precision for parity
+    with the released CPU-f32 models; bf16 casts activations/tables to
+    bfloat16 with f32 accumulation — one MXU pass per matmul instead of ~6,
+    at ~1e-3 probability error (still far inside the site-level tolerance)."""
+    parity = compute_dtype == jnp.float32
+    precision = jax.lax.Precision.HIGHEST if parity else jax.lax.Precision.DEFAULT
 
-    # one-hot over the stacked vocabulary: position j's id k -> column j*66+k
-    offs = jax.lax.broadcasted_iota(jnp.int32, (1, n_positions), 1) * vocab
-    flat_ids = k_ref[:] + offs  # (block, n_positions)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block, vocab_total), 1)
-    onehot = jnp.zeros((block, vocab_total), jnp.float32)
-    for j in range(n_positions):
-        onehot += (cols == flat_ids[:, j][:, None]).astype(jnp.float32)
+    def dot(a, b):
+        if not parity:
+            a = a.astype(jnp.bfloat16)
+            b = b.astype(jnp.bfloat16)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=precision)
 
-    h = (
-        jnp.dot(x_ref[:], w1x_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-        + jnp.dot(onehot, t_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-        + b1_ref[:]
-    )
-    h = jnp.maximum(h, 0.0)
-    h = jnp.maximum(jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + b2_ref[:], 0.0)
-    z = jnp.dot(h, w3_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + b3_ref[:]
-    out_ref[:] = jax.nn.sigmoid(z)
+    def kernel(x_ref, k_ref, w1x_ref, t_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref):
+        vocab_total = t_ref.shape[0]  # (2w+1) * 66
+        n_positions = k_ref.shape[1]
+        vocab = vocab_total // n_positions
+        block = x_ref.shape[0]
+
+        # one-hot over the stacked vocabulary: position j's id k -> column j*66+k
+        offs = jax.lax.broadcasted_iota(jnp.int32, (1, n_positions), 1) * vocab
+        flat_ids = k_ref[:] + offs  # (block, n_positions)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block, vocab_total), 1)
+        onehot = jnp.zeros((block, vocab_total), jnp.float32)
+        for j in range(n_positions):
+            onehot += (cols == flat_ids[:, j][:, None]).astype(jnp.float32)
+
+        h = dot(x_ref[:], w1x_ref[:]) + dot(onehot, t_ref[:]) + b1_ref[:]
+        h = jnp.maximum(h, 0.0)
+        h = jnp.maximum(dot(h, w2_ref[:]) + b2_ref[:], 0.0)
+        z = dot(h, w3_ref[:]) + b3_ref[:]
+        out_ref[:] = jax.nn.sigmoid(z)
+
+    return kernel
 
 
 def fused_read_probability(
@@ -104,6 +116,7 @@ def fused_read_probability(
     kmer_ids: jnp.ndarray,  # (N, 2w+1) int32
     block_reads: int = DEFAULT_BLOCK_READS,
     interpret: bool = False,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Per-read modification probabilities via the fused Pallas kernel."""
     n = features.shape[0]
@@ -115,7 +128,7 @@ def fused_read_probability(
     n_pos = kmer_ids.shape[1]
 
     out = pl.pallas_call(
-        _encoder_kernel,
+        _make_encoder_kernel(compute_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_reads, n_feat), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -63,6 +63,9 @@ def argparser():
     parser.add_argument("--backend", default="xla", choices=["xla", "pallas", "pallas_fused"],
                         help="per-read encoder backend (pallas = fused kernel, "
                              "production architecture only).")
+    parser.add_argument("--precision", default="f32", choices=["f32", "bf16"],
+                        help="f32 = parity mode; bf16 = fast mode (pallas "
+                             "backend; ~1e-3 probability error).")
     parser.add_argument("--resume", default=False, action="store_true",
                         help="continue an interrupted run from the last "
                              "fully-written site.")
@@ -197,6 +200,7 @@ def main(args):
         read_capacity=args.read_capacity,
         site_capacity=args.site_capacity,
         backend=getattr(args, "backend", "xla"),
+        precision=getattr(args, "precision", "f32"),
         resume=getattr(args, "resume", False),
         host_shard=host_shard,
     )

@@ -176,3 +176,31 @@ def test_engine_pallas_backend_matches_xla(production_model, tmp_path):
         a = pd.read_csv(tmp_path / "x" / name)
         b = pd.read_csv(tmp_path / "p" / name)
         np.testing.assert_allclose(a["probability_modified"], b["probability_modified"], atol=1e-5)
+
+
+def test_bf16_mode_within_site_tolerance(production_model, tmp_path):
+    """bf16 fast mode stays inside the site-level golden tolerance."""
+    import pandas as pd
+
+    from m6anet_tpu.constants import DEFAULT_MIN_READS, PRETRAINED_CONFIGS
+    from m6anet_tpu.data.dataset import build_dataset
+    from m6anet_tpu.inference.engine import run_inference
+
+    model, params = production_model
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    ds = build_dataset("/root/reference/m6anet/tests/data", min_reads=DEFAULT_MIN_READS,
+                       norm_path=norm, mode="Inference")
+    run_inference(model, params, ds, str(tmp_path / "f32"), read_proba_threshold=thr,
+                  use_mesh=False, backend="pallas")
+    run_inference(model, params, ds, str(tmp_path / "bf16"), read_proba_threshold=thr,
+                  use_mesh=False, backend="pallas", precision="bf16")
+    a = pd.read_csv(tmp_path / "f32" / "data.site_proba.csv")
+    b = pd.read_csv(tmp_path / "bf16" / "data.site_proba.csv")
+    np.testing.assert_allclose(
+        a["probability_modified"], b["probability_modified"], atol=1e-2
+    )
+    ai = pd.read_csv(tmp_path / "f32" / "data.indiv_proba.csv")
+    bi = pd.read_csv(tmp_path / "bf16" / "data.indiv_proba.csv")
+    np.testing.assert_allclose(
+        ai["probability_modified"], bi["probability_modified"], atol=2e-2
+    )
