@@ -359,7 +359,8 @@ class ReplicateSiteDataset(SiteDataset):
         out: NormDict = {}
         for kmer in sums:
             mean = sums[kmer] / counts[kmer]
-            out[kmer] = (mean, np.sqrt(sqs[kmer] / counts[kmer] - mean**2))
+            var = np.maximum(sqs[kmer] / counts[kmer] - mean**2, 0.0)
+            out[kmer] = (mean, np.sqrt(var))
         return out
 
     def get_site(self, idx: int, handle=None) -> Site:

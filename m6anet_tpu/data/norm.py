@@ -137,6 +137,8 @@ def compute_norm_dict(json_path: str, data_info, n_processes: int = 1) -> NormDi
     norm: NormDict = {}
     for kmer in sums:
         mean = sums[kmer] / counts[kmer]
-        std = np.sqrt(sqs[kmer] / counts[kmer] - mean**2)
-        norm[kmer] = (mean, std)
+        # clamp: E[X^2]-E[X]^2 can cancel to a tiny negative for
+        # near-constant segments, which would propagate NaNs downstream
+        var = np.maximum(sqs[kmer] / counts[kmer] - mean**2, 0.0)
+        norm[kmer] = (mean, np.sqrt(var))
     return norm
