@@ -250,10 +250,12 @@ def run_dataprep(
         for tx_id, slices in iter_transcript_tasks(index_rows):
             if tx_filter is not None and tx_id not in tx_filter:
                 continue
-            # readcount gates count *attempted* reads, and the reference's
-            # post-increment break admits readcount_max + 1 of them
+            # readcount gates count *attempted* reads, capped by the break at
+            # readcount_max (whose post-increment placement admits
+            # readcount_max + 1 of them) — so a transcript with more reads
+            # than the cap still only counts the cap toward readcount_min
             # (reference: m6anet/utils/dataprep_utils.py:379-390).
-            if len(slices) < readcount_min:
+            if min(len(slices), readcount_max + 1) < readcount_min:
                 continue
             yield tx_id, slices[: readcount_max + 1], n_neighbors, min_segment_count, compress, emit_json
 
