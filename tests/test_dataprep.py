@@ -257,3 +257,61 @@ def test_malformed_lines_skipped(tmp_path):
                  readcount_max=1000, min_segment_count=1, n_neighbors=1)
     info = pd.read_csv(out / "data.info")
     assert len(info) > 200  # bulk of sites still produced
+
+
+def test_fuzz_native_vs_python_pipeline(tmp_path):
+    """Randomized eventalign (multiple events per position, gaps, duplicate
+    read ids, variable run lengths): the native fused pipeline and the pure
+    numpy path must produce identical site records."""
+    import random
+
+    from m6anet_tpu.dataprep.indexer import build_index, read_index
+    from m6anet_tpu.dataprep.runner import featurize_transcript
+
+    rng = random.Random(7)
+    path = tmp_path / "fuzz.txt"
+    with open(path, "w") as f:
+        f.write("contig\tposition\treference_kmer\tread_index\tstrand\tevent_index\t"
+                "event_level_mean\tevent_stdv\tevent_length\tmodel_kmer\tmodel_mean\t"
+                "model_stdv\tstandardized_level\tstart_idx\tend_idx\n")
+        seq = "".join(rng.choice("ACGT") for _ in range(60))
+        for i in range(4, 50, 9):
+            seq = seq[:i] + "AGACA" + seq[i + 5 :]
+        for read in range(25):
+            read_id = read % 18  # duplicates: several reads share an id
+            pos = 0
+            while pos < 50:
+                if rng.random() < 0.15:
+                    pos += rng.randint(1, 4)  # gap
+                    continue
+                kmer = seq[pos : pos + 5]
+                model = kmer if rng.random() > 0.1 else "NNNNN"  # failed align
+                for _ in range(rng.randint(1, 3)):  # multiple events/position
+                    mean = 80 + rng.random() * 40
+                    stdv = 1 + rng.random() * 5
+                    length = 0.001 + rng.random() * 0.01
+                    s0 = rng.randint(0, 10**6)
+                    f.write(f"FZTX.1\t{pos}\t{kmer}\t{read_id}\tt\t0\t{mean:.3f}\t"
+                            f"{stdv:.3f}\t{length:.5f}\t{model}\t0\t0\t0\t{s0}\t{s0 + rng.randint(3, 50)}\n")
+                pos += 1
+
+    build_index(str(path), str(tmp_path))
+    rows = read_index(str(tmp_path / "eventalign.index"))
+    slices = [(r, s, e) for _, r, s, e in rows]
+
+    native = featurize_transcript("FZTX.1", slices, 1, 1, False, eventalign_path=str(path))
+    with open(path, "rb") as fh:
+        python = featurize_transcript("FZTX.1", slices, 1, 1, False,
+                                      eventalign_file=fh, eventalign_path=None)
+
+    assert len(native) > 3
+    assert len(native) == len(python)
+    for (pn, sn, fn_, rn, jn), (pp, sp, fp_, rp, jp) in zip(native, python):
+        assert pn == pp and sn == sp
+        srt_n, srt_p = np.argsort(rn, kind="stable"), np.argsort(rp, kind="stable")
+        np.testing.assert_array_equal(rn[srt_n], rp[srt_p])
+        np.testing.assert_allclose(fn_[srt_n], fp_[srt_p], rtol=0, atol=0)
+        # JSON lines parse to the same payloads
+        import json as _json
+
+        assert _json.loads(jn) and _json.loads(jp)
