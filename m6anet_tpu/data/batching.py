@@ -16,8 +16,10 @@ import numpy as np
 
 from .dataset import Site
 
-DEFAULT_READ_CAPACITY = 16384
-DEFAULT_SITE_CAPACITY = 256
+# sized so one dispatch amortizes platform latency (PERFORMANCE.md);
+# inputs are ~3 MB/batch at these caps
+DEFAULT_READ_CAPACITY = 65536
+DEFAULT_SITE_CAPACITY = 1024
 
 
 @dataclass

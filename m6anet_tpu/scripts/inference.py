@@ -54,9 +54,9 @@ def argparser():
     parser.add_argument("--site_proba_method", default="exact", choices=["exact", "mc"],
                         help="exact = closed-form noisy-OR expectation; "
                              "mc = on-device emulation of the reference's sampling estimator.")
-    parser.add_argument("--read_capacity", default=16384, type=int,
+    parser.add_argument("--read_capacity", default=65536, type=int,
                         help="reads per device batch (static shape).")
-    parser.add_argument("--site_capacity", default=256, type=int,
+    parser.add_argument("--site_capacity", default=1024, type=int,
                         help="sites per device batch (static shape).")
     parser.add_argument("--min_reads", default=DEFAULT_MIN_READS, type=int,
                         help="minimum reads for a site to be scored.")
