@@ -99,12 +99,18 @@ def build_index(eventalign_path: str, out_dir: str) -> str:
 
 
 def read_index(index_path: str) -> List[IndexRow]:
-    """Load eventalign.index preserving file order (pandas C parser)."""
+    """Load eventalign.index preserving file order (pandas C parser).
+
+    transcript_id is read as dtype=object: newer pandas otherwise routes
+    string columns through Arrow conversion, which measurably dominates this
+    read on large indexes.
+    """
     import pandas as pd
 
     df = pd.read_csv(
         index_path,
-        dtype={"transcript_id": str, "read_index": np.int64, "pos_start": np.int64, "pos_end": np.int64},
+        dtype={"transcript_id": object, "read_index": np.int64, "pos_start": np.int64, "pos_end": np.int64},
+        engine="c",
     )
     return list(
         zip(

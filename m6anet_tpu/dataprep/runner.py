@@ -27,8 +27,8 @@ from .indexer import build_index, open_eventalign, read_index
 from .windowing import window_read
 
 # One featurized site: (position, sequence context, features (n, 3*(2w+1))
-# float64, read indices, pre-rendered data.json line or None)
-SiteRecord = Tuple[int, str, np.ndarray, np.ndarray, Optional[str]]
+# float64, read indices, pre-rendered data.json line (bytes) or None)
+SiteRecord = Tuple[int, str, np.ndarray, np.ndarray, Optional[bytes]]
 
 _worker_eventalign_path: Optional[str] = None
 _worker_file = None
@@ -171,11 +171,10 @@ def featurize_transcript(
         if emit_json:
             rows = np.concatenate([feat, read_ids[s:e, None].astype(np.float64)], axis=1)
             payload = {seq.decode(): rows.tolist()}
-            line = '{"%s":{"%d":%s}}\n' % (
-                tx_id,
-                int(pos),
-                json.dumps(payload, separators=(",", ":")),
-            )
+            line = (
+                '{"%s":{"%d":%s}}\n'
+                % (tx_id, int(pos), json.dumps(payload, separators=(",", ":")))
+            ).encode()
         records.append((int(pos), seq.decode(), feat, read_ids[s:e], line))
     return records
 
@@ -265,21 +264,34 @@ def run_dataprep(
 
         columnar_writer = ColumnarWriter(out_dir, 2 * n_neighbors + 1)
 
-    with open(json_path, "w", encoding="utf-8") if emit_json else _null_file() as f_json, open(
+    # data.json is written in binary with a manually tracked offset:
+    # TextIOWrapper.tell() is O(slow) per call and the lines are pre-rendered
+    # bytes whose lengths are the offsets (same contract as the reference's
+    # f.tell() bookkeeping, reference: m6anet/utils/dataprep_utils.py:476-485).
+    json_offset = 0
+
+    with open(json_path, "wb") if emit_json else _null_file() as f_json, open(
         info_path, "w", encoding="utf-8"
     ) as f_info, open(log_path, "w", encoding="utf-8") as f_log:
         f_info.write("transcript_id,transcript_position,start,end,n_reads\n")
 
         def write_result(tx_id: str, records: List[SiteRecord]):
+            nonlocal json_offset
+            info_rows = []
+            json_parts = []
             for pos, seq, feat, read_ids, line in records:
                 start = end = 0
                 if emit_json:
-                    start = f_json.tell()
-                    f_json.write(line)
-                    end = f_json.tell()
+                    start = json_offset
+                    json_parts.append(line)
+                    json_offset += len(line)
+                    end = json_offset
                 if columnar_writer is not None:
                     columnar_writer.append_site(tx_id, pos, seq, feat, read_ids)
-                f_info.write(f"{tx_id},{pos},{start},{end},{len(read_ids)}\n")
+                info_rows.append(f"{tx_id},{pos},{start},{end},{len(read_ids)}\n")
+            if json_parts:
+                f_json.write(b"".join(json_parts))
+            f_info.write("".join(info_rows))
             f_log.write(f"{tx_id}: Data preparation ... Done.\n")
 
         if n_processes <= 1:

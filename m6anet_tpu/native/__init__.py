@@ -20,6 +20,7 @@ _LIB = os.path.join(_DIR, "_libm6a_native.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
+_scratch = threading.local()  # per-thread reusable output buffers
 
 
 def _build() -> bool:
@@ -204,7 +205,7 @@ def native_process_transcript(
     """Whole-transcript featurization in native code.
 
     Returns (site_pos, site_seq (S(5+2w)), site_nreads, features (n, 3*(2w+1))
-    float64 in site-major read order, read_ids (n,), json_lines list[str] or
+    float64 in site-major read order, read_ids (n,), json_lines list[bytes] or
     None) — or None when the native path is unavailable.
     """
     if eventalign_path.endswith(".gz"):
@@ -217,25 +218,21 @@ def native_process_transcript(
     import ctypes
 
     if not hasattr(lib, "_process_configured"):
+        # Raw-pointer signature (c_void_p + array.ctypes.data): this wrapper
+        # is called once per transcript and ndpointer's per-argument
+        # validation measurably dominates on many-small-transcript inputs.
+        # All arrays passed below are freshly allocated C-contiguous with the
+        # exact dtypes the C side expects.
         lib.ea_process_transcript.restype = ctypes.c_longlong
-        lib.ea_process_transcript.argtypes = [
-            ctypes.c_char_p, ctypes.c_char_p,
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-            ctypes.c_int64,
-            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int32, ctypes.c_int32,
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-            ctypes.c_char_p, ctypes.c_int64,
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-            ctypes.c_int64, ctypes.c_int64,
-        ]
+        lib.ea_process_transcript.argtypes = (
+            [ctypes.c_char_p, ctypes.c_char_p]
+            + [ctypes.c_void_p] * 3
+            + [ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+               ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
+            + [ctypes.c_void_p] * 5
+            + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+               ctypes.c_int64, ctypes.c_int64]
+        )
         lib._process_configured = True
 
     starts = np.array([s for _, s, _ in read_slices], dtype=np.int64)
@@ -249,20 +246,44 @@ def native_process_transcript(
     cap_sites = cap_windows + 1
     json_cap = (cap_windows * 26 * (nfeat + 1) + cap_sites * (seq_len + 64)) if emit_json else 1
 
-    site_pos = np.empty(cap_sites, np.int64)
-    site_seq = np.empty(cap_sites * seq_len, np.uint8)
-    site_nreads = np.empty(cap_sites, np.int64)
-    feat_out = np.empty(cap_windows * nfeat, np.float64)
-    read_out = np.empty(cap_windows, np.int64)
-    json_buf = ctypes.create_string_buffer(json_cap)
-    json_len = np.zeros(cap_sites, np.int64)
+    # Per-thread reusable scratch (outputs are copied before return, so the
+    # buffers can be handed straight back to the next call on this thread).
+    sc = getattr(_scratch, "bufs", None)
+    if sc is None or sc["cap_windows"] < cap_windows or sc["seq_len"] != seq_len or sc["json_cap"] < json_cap:
+        grow_w = max(cap_windows, 0 if sc is None else sc["cap_windows"])
+        grow_j = max(json_cap, 0 if sc is None else sc["json_cap"])
+        sc = {
+            "cap_windows": grow_w,
+            "seq_len": seq_len,
+            "json_cap": grow_j,
+            "site_pos": np.empty(grow_w + 1, np.int64),
+            "site_seq": np.empty((grow_w + 1) * seq_len, np.uint8),
+            "site_nreads": np.empty(grow_w + 1, np.int64),
+            "feat_out": np.empty(grow_w * nfeat, np.float64),
+            "read_out": np.empty(grow_w, np.int64),
+            "json_buf": np.empty(grow_j, np.uint8),
+            "json_len": np.empty(grow_w + 1, np.int64),
+        }
+        _scratch.bufs = sc
+    site_pos = sc["site_pos"]
+    site_seq = sc["site_seq"]
+    site_nreads = sc["site_nreads"]
+    feat_out = sc["feat_out"]
+    read_out = sc["read_out"]
+    json_buf = sc["json_buf"]
+    json_len = sc["json_len"]
+    cap_sites = sc["cap_windows"] + 1
+    cap_windows = sc["cap_windows"]
+    json_cap = sc["json_cap"]
 
     n_sites = lib.ea_process_transcript(
-        eventalign_path.encode(), tx_id.encode(), starts, ends, read_idx, n,
-        motifs, len(motifs) // 5, window_size, min_segment_count,
+        eventalign_path.encode(), tx_id.encode(),
+        starts.ctypes.data, ends.ctypes.data, read_idx.ctypes.data, n,
+        motifs.ctypes.data, len(motifs) // 5, window_size, min_segment_count,
         1 if compress else 0, 1 if emit_json else 0,
-        site_pos, site_seq, site_nreads, feat_out, read_out,
-        json_buf, json_cap, json_len, cap_sites, cap_windows,
+        site_pos.ctypes.data, site_seq.ctypes.data, site_nreads.ctypes.data,
+        feat_out.ctypes.data, read_out.ctypes.data,
+        json_buf.ctypes.data, json_cap, json_len.ctypes.data, cap_sites, cap_windows,
     )
     if n_sites < 0:
         return None
@@ -270,12 +291,12 @@ def native_process_transcript(
     total_rows = int(site_nreads[:n_sites].sum()) if n_sites else 0
     json_lines = None
     if emit_json:
-        raw = json_buf.raw
+        lens = json_len[:n_sites]
+        raw = json_buf[: int(lens.sum())].tobytes()
         json_lines = []
         off = 0
-        for i in range(n_sites):
-            ln = int(json_len[i])
-            json_lines.append(raw[off : off + ln].decode())
+        for ln in lens.tolist():
+            json_lines.append(raw[off : off + ln])
             off += ln
     return (
         site_pos[:n_sites].copy(),

@@ -474,7 +474,12 @@ long long ea_process_transcript(
     int v = atoi(env);
     if (v >= 1) n_threads = v;
   }
-  if (n_threads > 1 && n_reads >= 2 * n_threads) {
+  int64_t total_bytes = 0;
+  for (int64_t r = 0; r < n_reads; ++r) total_bytes += ends[r] - starts[r];
+  // Threads only pay off for substantial transcripts: spawning them per call
+  // dominates on many-small-transcript inputs (thread start ~100us vs ~10us
+  // of parsing per 2 KB read slice).
+  if (n_threads > 1 && n_reads >= 2 * n_threads && total_bytes >= (4 << 20)) {
     // each thread featurizes a contiguous read range into private buffers
     struct Part {
       std::vector<int64_t> pos, bounds, npos;
