@@ -18,6 +18,7 @@
 // rounding uses rint (round-half-even) matching numpy.round.
 
 #include <algorithm>
+#include <charconv>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -59,11 +60,11 @@ static inline bool field_eq(const Field& a, const Field& b) {
 }
 
 static inline double parse_double(const Field& f) {
-  char buf[64];
-  size_t n = f.len < 63 ? f.len : 63;
-  memcpy(buf, f.p, n);
-  buf[n] = '\0';
-  return strtod(buf, nullptr);
+  // std::from_chars: no copy, no locale; identical rounding to strtod
+  // (both correctly-rounded IEEE doubles).
+  double v = 0.0;
+  std::from_chars(f.p, f.p + f.len, v);
+  return v;
 }
 
 static inline long long parse_ll(const Field& f) {
