@@ -120,3 +120,24 @@ def read_index(index_path: str) -> List[IndexRow]:
             df["pos_end"].tolist(),
         )
     )
+
+
+def read_index_arrays(index_path: str):
+    """Columnar eventalign.index load: (tx_ids object[], read_index int64[],
+    pos_start int64[], pos_end int64[]) in file order.
+
+    The array form skips one Python tuple per row, which matters at millions
+    of reads (the HEK293T corpus has 8M)."""
+    import pandas as pd
+
+    df = pd.read_csv(
+        index_path,
+        dtype={"transcript_id": object, "read_index": np.int64, "pos_start": np.int64, "pos_end": np.int64},
+        engine="c",
+    )
+    return (
+        df["transcript_id"].to_numpy(),
+        df["read_index"].to_numpy(),
+        df["pos_start"].to_numpy(),
+        df["pos_end"].to_numpy(),
+    )

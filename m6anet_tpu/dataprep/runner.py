@@ -42,7 +42,7 @@ def _worker_init(eventalign_path: str):
 
 def featurize_transcript(
     tx_id: str,
-    read_slices: List[Tuple[int, int, int]],
+    read_slices,
     n_neighbors: int,
     min_segment_count: int,
     compress: bool,
@@ -53,7 +53,9 @@ def featurize_transcript(
     """Featurize one transcript: read byte slices -> per-site JSON lines.
 
     ``read_slices`` is [(read_index, start, end), ...] in eventalign.index
-    order.  Duplicated read_index keeps only the last occurrence, matching the
+    order, or the equivalent columnar triple of int64 arrays
+    ``(read_indices, starts, ends)`` (the fast path run_dataprep uses).
+    Duplicated read_index keeps only the last occurrence, matching the
     reference's dict overwrite (reference: m6anet/utils/dataprep_utils.py:385).
 
     Parsing runs through the native C++ core when available
@@ -61,6 +63,12 @@ def featurize_transcript(
     missing toolchain).
     """
     path = eventalign_path or _worker_eventalign_path
+    if isinstance(read_slices, tuple) and len(read_slices) == 3:
+        slice_reads, slice_starts, slice_ends = read_slices
+    else:
+        slice_reads = np.array([r for r, _, _ in read_slices], dtype=np.int64)
+        slice_starts = np.array([s for _, s, _ in read_slices], dtype=np.int64)
+        slice_ends = np.array([e for _, _, e in read_slices], dtype=np.int64)
 
     # Preferred path: the whole transcript pipeline in native code (parse,
     # aggregate, window, DRACH filter, site grouping, JSON rendering).
@@ -68,7 +76,8 @@ def featurize_transcript(
         from ..native import native_process_transcript
 
         processed = native_process_transcript(
-            path, tx_id, read_slices, n_neighbors, min_segment_count, compress, emit_json
+            path, tx_id, (slice_reads, slice_starts, slice_ends),
+            n_neighbors, min_segment_count, compress, emit_json,
         )
         if processed is not None:
             site_pos, site_seq, site_nreads, feats, read_ids, json_lines = processed
@@ -92,13 +101,10 @@ def featurize_transcript(
     if path is not None:
         from ..native import native_featurize_batch
 
-        starts = np.array([s for _, s, _ in read_slices], dtype=np.int64)
-        ends = np.array([e for _, _, e in read_slices], dtype=np.int64)
-        native_result = native_featurize_batch(path, starts, ends, n_neighbors)
+        native_result = native_featurize_batch(path, slice_starts, slice_ends, n_neighbors)
 
     if native_result is not None:
         pos_all, seq_all, feat_all, wbounds, npos = native_result
-        slice_reads = np.array([rd for rd, _, _ in read_slices], dtype=np.int64)
         counts = np.diff(wbounds)
         keep = npos > 1  # reference's data.size > 1 gate
         if len(slice_reads) != len(np.unique(slice_reads)):
@@ -120,7 +126,7 @@ def featurize_transcript(
     else:
         per_read: Dict[int, Tuple] = {}
         f = eventalign_file if eventalign_file is not None else _worker_file
-        for read_index, start, end in read_slices:
+        for read_index, start, end in zip(slice_reads.tolist(), slice_starts.tolist(), slice_ends.tolist()):
             f.seek(start)
             combined = combine_read(f.read(end - start))
             if combined is not None:
@@ -195,6 +201,27 @@ def iter_transcript_tasks(index_rows) -> Iterator[Tuple[str, List[Tuple[int, int
     yield from by_tx.items()
 
 
+def iter_transcript_tasks_arrays(tx_ids, read_idx, starts, ends):
+    """Array-form grouping: yields (tx_id, (read_idx, starts, ends)) per
+    transcript in first-appearance order — same ordering contract as
+    :func:`iter_transcript_tasks` without one Python tuple per index row."""
+    import pandas as pd
+
+    codes, uniques = pd.factorize(tx_ids)  # first-appearance order
+    order = np.argsort(codes, kind="stable")
+    sorted_codes = codes[order]
+    bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
+    group_starts = np.concatenate([[0], bounds])
+    group_ends = np.concatenate([bounds, [len(codes)]])
+    for g in range(len(uniques)):
+        idx = order[group_starts[g] : group_ends[g]]
+        yield str(uniques[g]), (
+            np.ascontiguousarray(read_idx[idx]),
+            np.ascontiguousarray(starts[idx]),
+            np.ascontiguousarray(ends[idx]),
+        )
+
+
 def run_dataprep(
     eventalign_path: str,
     out_dir: str,
@@ -232,7 +259,9 @@ def run_dataprep(
     if not skip_index or not os.path.exists(index_path):
         build_index(eventalign_path, out_dir)
 
-    index_rows = read_index(index_path)
+    from .indexer import read_index_arrays
+
+    idx_tx, idx_read, idx_start, idx_end = read_index_arrays(index_path)
 
     json_path = os.path.join(out_dir, "data.json")
     info_path = os.path.join(out_dir, "data.info")
@@ -241,12 +270,12 @@ def run_dataprep(
     tx_filter = None
     if host_shard is not None:
         host_id, n_hosts = host_shard
-        all_tx = list(dict.fromkeys(tx for tx, _, _, _ in index_rows))
+        all_tx = list(dict.fromkeys(idx_tx.tolist()))
         per = -(-len(all_tx) // n_hosts)
         tx_filter = set(all_tx[host_id * per : (host_id + 1) * per])
 
     def task_args():
-        for tx_id, slices in iter_transcript_tasks(index_rows):
+        for tx_id, slices in iter_transcript_tasks_arrays(idx_tx, idx_read, idx_start, idx_end):
             if tx_filter is not None and tx_id not in tx_filter:
                 continue
             # readcount gates count *attempted* reads, capped by the break at
@@ -254,9 +283,10 @@ def run_dataprep(
             # readcount_max + 1 of them) — so a transcript with more reads
             # than the cap still only counts the cap toward readcount_min
             # (reference: m6anet/utils/dataprep_utils.py:379-390).
-            if min(len(slices), readcount_max + 1) < readcount_min:
+            if min(len(slices[0]), readcount_max + 1) < readcount_min:
                 continue
-            yield tx_id, slices[: readcount_max + 1], n_neighbors, min_segment_count, compress, emit_json
+            capped = tuple(a[: readcount_max + 1] for a in slices)
+            yield tx_id, capped, n_neighbors, min_segment_count, compress, emit_json
 
     columnar_writer = None
     if emit_columnar:

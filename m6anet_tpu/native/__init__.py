@@ -235,9 +235,14 @@ def native_process_transcript(
         )
         lib._process_configured = True
 
-    starts = np.array([s for _, s, _ in read_slices], dtype=np.int64)
-    ends = np.array([e for _, _, e in read_slices], dtype=np.int64)
-    read_idx = np.array([r for r, _, _ in read_slices], dtype=np.int64)
+    if isinstance(read_slices, tuple) and len(read_slices) == 3:
+        read_idx, starts, ends = (
+            np.ascontiguousarray(a, dtype=np.int64) for a in read_slices
+        )
+    else:
+        starts = np.array([s for _, s, _ in read_slices], dtype=np.int64)
+        ends = np.array([e for _, _, e in read_slices], dtype=np.int64)
+        read_idx = np.array([r for r, _, _ in read_slices], dtype=np.int64)
     n = len(starts)
     motifs = _motif_buffer()
     seq_len = 5 + 2 * window_size
