@@ -138,6 +138,10 @@ class ColumnarSiteDataset:
 
         self.norm_dict: Optional[NormDict] = load_norm_factors(norm_path) if norm_path else None
         self._norm_cache = {}
+        self._seq_cache = {}  # full seq -> (sub seq, kmer_ids) per-site work
+        self._all_columns = len(self.indices) == self.meta["n_features"] and bool(
+            np.array_equal(self.indices, np.arange(self.meta["n_features"]))
+        )
         self.rng = np.random
 
     def _load_labels(self, mode: str) -> np.ndarray:
@@ -179,13 +183,26 @@ class ColumnarSiteDataset:
         del handle
         raw = self.site_index[idx]
         start, end = self.offsets[raw], self.offsets[raw + 1]
-        seq_full = self.site_seq[raw].decode()
-        seq = _subsequence(seq_full, self.total_neighboring_features, self.num_neighboring_features)
-        features = np.asarray(self.features[start:end])[:, self.indices]
+        seq_full = self.site_seq[raw]
+        cached = self._seq_cache.get(seq_full)
+        if cached is None:
+            seq = _subsequence(
+                seq_full.decode(), self.total_neighboring_features, self.num_neighboring_features
+            )
+            kmer_ids = np.array(
+                [KMER_TO_INT[seq[i : i + 5]] for i in range(self.n_positions)], dtype=np.int32
+            )
+            cached = (seq, kmer_ids)
+            self._seq_cache[seq_full] = cached
+        seq, kmer_ids = cached
+        if self._all_columns:
+            features = np.array(self.features[start:end], dtype=np.float32)
+        else:
+            features = np.asarray(self.features[start:end])[:, self.indices].astype(np.float32)
         if self.norm_dict:
             mean, std = self._site_norm(seq)
-            features = (features - mean) / std
-        kmers = [seq[i : i + 5] for i in range(self.n_positions)]
+            features -= mean
+            features /= std
         label = None
         if self.mode != "Inference":
             label = int(self.labels_full[raw])
@@ -193,8 +210,8 @@ class ColumnarSiteDataset:
             tx_id=self.transcripts[self.site_tx[raw]],
             tx_pos=int(self.site_pos[raw]),
             read_ids=np.asarray(self.read_ids[start:end]),
-            features=features.astype(np.float32),
-            kmer_ids=np.array([KMER_TO_INT[k] for k in kmers], dtype=np.int32),
+            features=features,
+            kmer_ids=kmer_ids,
             sequence=seq,
             label=label,
         )

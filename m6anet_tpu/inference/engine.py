@@ -129,27 +129,51 @@ def make_infer_step(
 
 
 def _write_batch(batch: SiteBatch, p, site_p, mod_ratio, f_site, f_indiv):
-    from ..native import native_render_indiv_csv
+    from ..native import native_render_indiv_csv_batch
 
     p = np.asarray(p)
     site_p = np.asarray(site_p)
     mod_ratio = np.asarray(mod_ratio)
+
+    site_rows = []
+    prefix_parts = []
+    prefix_off = [0]
+    all_int_ids = True
     for i, site in enumerate(batch.sites):
-        start = batch.offsets[i]
-        n = batch.counts[i]
-        f_site.write(
+        site_rows.append(
             "%s,%d,%s,%.16f,%s,%.16f\n"
-            % (site.tx_id, site.tx_pos, n, site_p[i], site.center_kmer, mod_ratio[i])
+            % (site.tx_id, site.tx_pos, batch.counts[i], site_p[i], site.center_kmer, mod_ratio[i])
         )
-        reads = site.read_ids
-        prefix = f"{site.tx_id},{site.tx_pos},".encode()
-        block = native_render_indiv_csv(prefix, reads, p[start : start + n])
-        if block is None:  # string read ids (replicates) or no native lib
-            block = "".join(
-                "%s,%d,%s,%.16f\n" % (site.tx_id, site.tx_pos, reads[r], p[start + r])
-                for r in range(n)
-            ).encode()
-        f_indiv.write(block)
+        prefix_parts.append(f"{site.tx_id},{site.tx_pos},".encode())
+        prefix_off.append(prefix_off[-1] + len(prefix_parts[-1]))
+        all_int_ids = all_int_ids and site.read_ids.dtype == np.int64
+    f_site.write("".join(site_rows))
+
+    n_sites = len(batch.sites)
+    counts = batch.counts[:n_sites]
+    block = None
+    if all_int_ids and n_sites:
+        # pack_sites lays reads out densely (site i at [offsets[i],
+        # offsets[i]+counts[i]), no gaps), so the flat probability prefix
+        # lines up with the concatenated read ids directly
+        read_ids = np.concatenate([s.read_ids for s in batch.sites])
+        block = native_render_indiv_csv_batch(
+            b"".join(prefix_parts), np.asarray(prefix_off), counts,
+            read_ids, p[: len(read_ids)],
+        )
+    if block is None:  # string read ids (replicates) or no native lib
+        parts = []
+        for i, site in enumerate(batch.sites):
+            start = batch.offsets[i]
+            parts.append(
+                "".join(
+                    "%s,%d,%s,%.16f\n"
+                    % (site.tx_id, site.tx_pos, site.read_ids[r], p[start + r])
+                    for r in range(batch.counts[i])
+                )
+            )
+        block = "".join(parts).encode()
+    f_indiv.write(block)
 
 
 def run_inference(

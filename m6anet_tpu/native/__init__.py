@@ -377,3 +377,53 @@ def native_render_indiv_csv(prefix: bytes, read_ids: np.ndarray, probs: np.ndarr
     if written < 0:
         return None
     return buf.raw[: int(written)]
+
+
+def native_render_indiv_csv_batch(
+    prefixes: bytes,
+    prefix_off: np.ndarray,
+    site_counts: np.ndarray,
+    read_ids: np.ndarray,
+    probs: np.ndarray,
+):
+    """Render a whole batch of sites' indiv-probability CSV rows in one call.
+
+    ``prefixes``/``prefix_off`` hold each site's "tx,pos," prefix
+    (concatenated bytes + n_sites+1 int64 offsets); ``site_counts`` the reads
+    per site; ``read_ids``/``probs`` the flat per-read arrays.  Returns bytes
+    or None when unavailable.
+    """
+    if read_ids.dtype != np.int64:
+        return None
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ea_render_indiv_csv_batch"):
+        return None
+    import ctypes
+
+    if not hasattr(lib, "_render_batch_configured"):
+        lib.ea_render_indiv_csv_batch.restype = ctypes.c_longlong
+        lib.ea_render_indiv_csv_batch.argtypes = (
+            [ctypes.c_char_p] + [ctypes.c_void_p] * 2 + [ctypes.c_int64]
+            + [ctypes.c_void_p] * 3 + [ctypes.c_int64]
+        )
+        lib._render_batch_configured = True
+
+    prefix_off = np.ascontiguousarray(prefix_off, dtype=np.int64)
+    site_counts = np.ascontiguousarray(site_counts, dtype=np.int64)
+    read_ids = np.ascontiguousarray(read_ids)
+    probs = np.ascontiguousarray(probs, dtype=np.float32)
+    n_sites = len(site_counts)
+    max_prefix = int(np.diff(prefix_off).max()) if n_sites else 0
+    cap = (max_prefix + 64) * len(read_ids) + 16
+
+    buf = getattr(_scratch, "csv_buf", None)
+    if buf is None or len(buf) < cap:
+        buf = np.empty(max(cap, 1 << 20), np.uint8)
+        _scratch.csv_buf = buf
+    written = lib.ea_render_indiv_csv_batch(
+        prefixes, prefix_off.ctypes.data, site_counts.ctypes.data, n_sites,
+        read_ids.ctypes.data, probs.ctypes.data, buf.ctypes.data, len(buf),
+    )
+    if written < 0:
+        return None
+    return buf[: int(written)].tobytes()

@@ -720,4 +720,37 @@ long long ea_render_indiv_csv(const char* prefix, int64_t prefix_len,
   return static_cast<long long>(p - out);
 }
 
+// Render a whole batch of sites' indiv_proba CSV rows in one call:
+// for site i, for each of its site_counts[i] reads:
+//   "<prefix_i><read_id>,<prob .16 fixed>\n"
+// prefixes = concatenated per-site prefixes, prefix_off = n_sites+1 offsets.
+// Values use std::to_chars(fixed, 16) — identical digits to printf %.16f
+// (both correctly rounded). Returns bytes written, or -2 on overflow.
+long long ea_render_indiv_csv_batch(const char* prefixes,
+                                    const int64_t* prefix_off,
+                                    const int64_t* site_counts,
+                                    int64_t n_sites, const int64_t* read_ids,
+                                    const float* probs, char* out,
+                                    int64_t cap) {
+  char* p = out;
+  char* end = out + cap;
+  int64_t row = 0;
+  for (int64_t i = 0; i < n_sites; ++i) {
+    const char* pre = prefixes + prefix_off[i];
+    const int64_t pre_len = prefix_off[i + 1] - prefix_off[i];
+    for (int64_t j = 0; j < site_counts[i]; ++j, ++row) {
+      if (end - p < pre_len + 64) return -2;
+      memcpy(p, pre, static_cast<size_t>(pre_len));
+      p += pre_len;
+      p = std::to_chars(p, end, static_cast<long long>(read_ids[row])).ptr;
+      *p++ = ',';
+      p = std::to_chars(p, end, static_cast<double>(probs[row]),
+                        std::chars_format::fixed, 16)
+              .ptr;
+      *p++ = '\n';
+    }
+  }
+  return static_cast<long long>(p - out);
+}
+
 }  // extern "C"
