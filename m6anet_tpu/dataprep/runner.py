@@ -236,6 +236,50 @@ def run_dataprep(
     output_format: str = "json",
     host_shard=None,
 ) -> None:
+    """Full dataprep; gzipped input is decompressed once to a scratch file so
+    the native parsing core (which needs seekable plain bytes) applies — the
+    index's byte offsets refer to the decompressed stream either way, and
+    per-read gzip seeks would otherwise re-inflate from the start of the
+    member each time."""
+    if eventalign_path.endswith(".gz"):
+        import gzip
+        import shutil
+        import tempfile
+
+        os.makedirs(out_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(suffix=".eventalign.txt", dir=out_dir)
+        try:
+            with gzip.open(eventalign_path, "rb") as src, os.fdopen(fd, "wb") as dst:
+                shutil.copyfileobj(src, dst, 8 << 20)
+            _run_dataprep(
+                tmp, out_dir, n_processes, chunk_size, readcount_min,
+                readcount_max, min_segment_count, n_neighbors, compress,
+                skip_index, output_format, host_shard,
+            )
+        finally:
+            os.remove(tmp)
+        return
+    _run_dataprep(
+        eventalign_path, out_dir, n_processes, chunk_size, readcount_min,
+        readcount_max, min_segment_count, n_neighbors, compress, skip_index,
+        output_format, host_shard,
+    )
+
+
+def _run_dataprep(
+    eventalign_path: str,
+    out_dir: str,
+    n_processes: int = 1,
+    chunk_size: int = 1_000_000,
+    readcount_min: int = 1,
+    readcount_max: int = 1000,
+    min_segment_count: int = 20,
+    n_neighbors: int = 1,
+    compress: bool = False,
+    skip_index: bool = False,
+    output_format: str = "json",
+    host_shard=None,
+) -> None:
     """Full dataprep: index (stage A) + featurize/write (stage B).
 
     ``chunk_size`` is accepted for CLI compatibility but unused — the
