@@ -230,3 +230,129 @@ class ColumnarSiteDataset:
             return site
         features, kmers = self.sample_reads(site)
         return features, kmers, site.label
+
+
+class ReplicateColumnarDataset:
+    """Multi-replicate inference over columnar stores.
+
+    Same observable contract as :class:`~m6anet_tpu.data.dataset.
+    ReplicateSiteDataset` (reference: NanopolishReplicateDS,
+    m6anet/utils/data_utils.py:293-495): sites outer-joined on
+    (transcript, position) in first-appearance order, read counts summed
+    before the ``min_reads`` gate, read ids suffixed ``"{read}_{rep}"``,
+    identical sequence context asserted across replicates, and — when no
+    ``norm_path`` is given — per-kmer normalization factors computed from the
+    replicates themselves.  Inference mode only (training reads single-run
+    datasets, as in the reference's training configs).
+    """
+
+    def __init__(
+        self,
+        root_dirs,
+        min_reads: Optional[int] = DEFAULT_MIN_READS,
+        norm_path: Optional[str] = None,
+        num_neighboring_features: int = 1,
+        mode: str = "Inference",
+    ):
+        if mode != "Inference":
+            raise ValueError("ReplicateColumnarDataset supports Inference mode only")
+        self.mode = mode
+        self.min_reads = min_reads if min_reads is not None else 0
+        # replicates stay raw (min_reads gate + normalization happen on the
+        # merged site, matching the reference's summed-count semantics)
+        self.reps = [
+            ColumnarSiteDataset(
+                d, min_reads=0, norm_path=None,
+                num_neighboring_features=num_neighboring_features,
+            )
+            for d in root_dirs
+        ]
+        self.n_positions = self.reps[0].n_positions
+        # suffix keyed by directory path with dict overwrite, exactly like the
+        # reference's fpath_mapping (reference: m6anet/utils/data_utils.py:375)
+        self.rep_suffix = {d: i for i, d in enumerate(root_dirs)}
+        self.dirs = list(root_dirs)
+
+        entries = {}
+        order = []
+        for r, rep in enumerate(self.reps):
+            for raw in range(len(rep.site_pos)):
+                key = (rep.transcripts[rep.site_tx[raw]], int(rep.site_pos[raw]))
+                if key not in entries:
+                    entries[key] = []
+                    order.append(key)
+                entries[key].append((r, raw))
+        self.entries = []
+        for key in order:
+            total = sum(
+                int(self.reps[r].offsets[raw + 1] - self.reps[r].offsets[raw])
+                for r, raw in entries[key]
+            )
+            if total >= self.min_reads:
+                self.entries.append(entries[key])
+
+        self.norm_dict: Optional[NormDict] = (
+            load_norm_factors(norm_path) if norm_path else self._compute_norm_factors()
+        )
+        self._norm_cache = {}
+
+    def _compute_norm_factors(self) -> NormDict:
+        """Streaming per-kmer mean/std over every replicate's reads
+        (reference: m6anet/utils/data_utils.py:429-495)."""
+        sums, sqs, counts = {}, {}, {}
+        for members in self.entries:
+            for r, raw in members:
+                site = self.reps[r].get_site(raw)
+                feats = site.features.astype(np.float64)
+                for seg in range(len(site.sequence) - 4):
+                    kmer = site.sequence[seg : seg + 5]
+                    sl = feats[:, 3 * seg : 3 * (seg + 1)]
+                    if kmer not in sums:
+                        sums[kmer], sqs[kmer], counts[kmer] = np.zeros(3), np.zeros(3), 0
+                    sums[kmer] += sl.sum(axis=0)
+                    sqs[kmer] += np.square(sl).sum(axis=0)
+                    counts[kmer] += len(sl)
+        out: NormDict = {}
+        for kmer in sums:
+            mean = sums[kmer] / counts[kmer]
+            var = np.maximum(sqs[kmer] / counts[kmer] - mean**2, 0.0)
+            out[kmer] = (mean, np.sqrt(var))
+        return out
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def get_site(self, idx: int) -> Site:
+        members = [(r, self.reps[r].get_site(raw)) for r, raw in self.entries[idx]]
+        seq0 = members[0][1].sequence
+        for _, s in members[1:]:
+            assert s.sequence == seq0, "replicates disagree on sequence context"
+        features = np.concatenate([s.features for _, s in members])
+        if self.norm_dict:
+            cached = self._norm_cache.get(seq0)
+            if cached is None:
+                mean, std = site_norm_vectors(self.norm_dict, seq0, self.n_positions)
+                cached = (mean.astype(np.float32), std.astype(np.float32))
+                self._norm_cache[seq0] = cached
+            mean, std = cached
+            features = (features - mean) / std
+        read_ids = np.concatenate(
+            [
+                np.array([f"{int(rid)}_{self.rep_suffix[self.dirs[r]]}" for rid in s.read_ids])
+                for r, s in members
+            ]
+        )
+        first = members[0][1]
+        return Site(
+            tx_id=first.tx_id,
+            tx_pos=first.tx_pos,
+            read_ids=read_ids,
+            features=features.astype(np.float32),
+            kmer_ids=first.kmer_ids,
+            sequence=seq0,
+            label=None,
+        )
+
+    def iter_sites(self) -> Iterator[Site]:
+        for idx in range(len(self)):
+            yield self.get_site(idx)

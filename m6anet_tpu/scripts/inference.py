@@ -172,11 +172,14 @@ def main(args):
             list(input_dir), min_reads=args.min_reads, norm_path=norm_path, mode="Inference"
         )
     elif getattr(args, "columnar", False):
-        if not isinstance(root_dir, str):
-            raise ValueError("--columnar supports a single input_dir")
-        from ..data.columnar import ColumnarSiteDataset
+        if isinstance(root_dir, str):
+            from ..data.columnar import ColumnarSiteDataset
 
-        dataset = ColumnarSiteDataset(root_dir, min_reads=args.min_reads, norm_path=norm_path)
+            dataset = ColumnarSiteDataset(root_dir, min_reads=args.min_reads, norm_path=norm_path)
+        else:  # multiple input dirs = replicates, like the data.json path
+            from ..data.columnar import ReplicateColumnarDataset
+
+            dataset = ReplicateColumnarDataset(root_dir, min_reads=args.min_reads, norm_path=norm_path)
     else:
         dataset = build_dataset(
             root_dir, min_reads=args.min_reads, norm_path=norm_path, mode="Inference"

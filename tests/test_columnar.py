@@ -104,3 +104,65 @@ def test_columnar_training_mode(columnar_dir):
     assert features.shape == (20, 9)
     assert kmers.shape == (20, 3)
     assert label in (0, 1)
+
+
+def test_replicate_columnar_matches_json_replicates(columnar_dir, production_model, tmp_path):
+    """ReplicateColumnarDataset agrees with the data.json replicate path:
+    same merged sites, same read-id suffixing, same probabilities."""
+    from m6anet_tpu.constants import DEFAULT_NORM_PATH, DEFAULT_READ_THRESHOLD
+    from m6anet_tpu.data.columnar import ReplicateColumnarDataset
+    from m6anet_tpu.data.dataset import ReplicateSiteDataset
+    from m6anet_tpu.inference.engine import run_inference
+
+    import shutil
+
+    model, params = production_model
+    rep2 = str(tmp_path / "rep2")
+    shutil.copytree(columnar_dir, rep2)  # distinct dir = fake second replicate
+    dirs = [columnar_dir, rep2]
+
+    ds_col = ReplicateColumnarDataset(dirs, min_reads=20, norm_path=DEFAULT_NORM_PATH)
+    ds_json = ReplicateSiteDataset(dirs, min_reads=20, norm_path=DEFAULT_NORM_PATH)
+    assert len(ds_col) == len(ds_json)
+
+    out_col = str(tmp_path / "col")
+    out_json = str(tmp_path / "json")
+    run_inference(model, params, ds_col, out_col, DEFAULT_READ_THRESHOLD)
+    run_inference(model, params, ds_json, out_json, DEFAULT_READ_THRESHOLD)
+
+    key = ["transcript_id", "transcript_position", "read_index"]
+    a = pd.read_csv(os.path.join(out_col, "data.indiv_proba.csv")).sort_values(key).reset_index(drop=True)
+    b = pd.read_csv(os.path.join(out_json, "data.indiv_proba.csv")).sort_values(key).reset_index(drop=True)
+    # summed counts admit 10-19-read sites past the >=20 gate, so this is
+    # more than 2x the single-run golden row count
+    assert len(a) == len(b) and len(a) >= 2 * 5595
+    assert (a.read_index == b.read_index).all()  # incl. _0/_1 suffixes
+    # columnar stores raw features as f32 (json normalizes in f64): same
+    # ~1e-5 quantization as the single-run comparison above
+    np.testing.assert_allclose(a.probability_modified, b.probability_modified, atol=5e-5)
+
+    sa = pd.read_csv(os.path.join(out_col, "data.site_proba.csv")).sort_values(key[:2]).reset_index(drop=True)
+    sb = pd.read_csv(os.path.join(out_json, "data.site_proba.csv")).sort_values(key[:2]).reset_index(drop=True)
+    np.testing.assert_allclose(sa.probability_modified, sb.probability_modified, atol=5e-5)
+    # a read whose probability sits exactly at the threshold could flip its
+    # mod_ratio contribution under the f32 quantization; allow one read
+    np.testing.assert_allclose(sa.mod_ratio, sb.mod_ratio, atol=1.0 / 20)
+
+
+def test_replicate_columnar_computed_norm(columnar_dir, tmp_path):
+    """Without a norm_path the replicate dataset computes per-kmer factors
+    from its own reads (reference: m6anet/utils/data_utils.py:429-495)."""
+    from m6anet_tpu.data.columnar import ReplicateColumnarDataset
+
+    import shutil
+
+    rep2 = str(tmp_path / "rep2b")
+    shutil.copytree(columnar_dir, rep2)
+    ds = ReplicateColumnarDataset([columnar_dir, rep2], min_reads=20)
+    assert ds.norm_dict
+    site = ds.get_site(0)
+    assert np.isfinite(site.features).all()
+    # two identical replicates: normalized features tile exactly
+    n = len(site.features) // 2
+    np.testing.assert_array_equal(site.features[:n], site.features[n:])
+    assert site.read_ids[0].endswith("_0") and site.read_ids[-1].endswith("_1")
