@@ -220,6 +220,114 @@ class ColumnarSiteDataset:
         for idx in range(len(self)):
             yield self.get_site(idx)
 
+    def iter_packed(self, start: int, limit: Optional[int], read_capacity: int, site_capacity: int):
+        """Yield padded SiteBatch objects directly from the memory map.
+
+        Vectorized equivalent of ``pack_sites(iter_sites())``: one block copy
+        per batch (plus per-site gathers only where the min_reads filter
+        leaves holes), normalization applied batch-wide via np.repeat over
+        read counts.  This removes the per-site Python cost of the generic
+        path — the host feed is the production bottleneck (PERFORMANCE.md).
+        """
+        from .batching import SiteBatch
+
+        idxs = self.site_index[start:]
+        if limit is not None:
+            idxs = idxs[:limit]
+        counts_all = np.diff(self.offsets)
+        n_features = len(self.indices)
+
+        i = 0
+        global_idx = start
+        while i < len(idxs):
+            # greedy: take sites while reads fit
+            j = i
+            reads = 0
+            while j < len(idxs) and j - i < site_capacity:
+                c = int(counts_all[idxs[j]])
+                if c > read_capacity:
+                    raise ValueError(
+                        f"site raw={idxs[j]} has {c} reads > read_capacity {read_capacity}; "
+                        "raise read_capacity (sites are capped by dataprep's readcount_max)"
+                    )
+                if reads + c > read_capacity:
+                    break
+                reads += c
+                j += 1
+            raws = idxs[i:j]
+            counts = counts_all[raws].astype(np.int32)
+            n_sites = len(raws)
+
+            feats = np.zeros((read_capacity, n_features), np.float32)
+            kmers = np.zeros((read_capacity, self.n_positions), np.int32)
+            site_ids = np.full((read_capacity,), site_capacity, np.int32)
+            offsets = np.zeros((site_capacity,), np.int32)
+            counts_buf = np.zeros((site_capacity,), np.int32)
+            gids = np.zeros((site_capacity,), np.int32)
+
+            # one covering block copy when the filter left few holes
+            lo, hi = int(self.offsets[raws[0]]), int(self.offsets[raws[-1] + 1])
+            read_rows = np.concatenate(
+                [np.arange(self.offsets[r], self.offsets[r + 1]) for r in raws]
+            ) if hi - lo != reads else None
+            if read_rows is None:  # contiguous run
+                block = np.array(self.features[lo:hi], dtype=np.float32)
+                ids_block = np.asarray(self.read_ids[lo:hi])
+            else:
+                block = np.asarray(self.features[read_rows]).astype(np.float32)
+                ids_block = np.asarray(self.read_ids[read_rows])
+            if not self._all_columns:
+                block = block[:, self.indices]
+
+            sites: List[Site] = []
+            mean_rows = std_rows = None
+            boundaries = np.concatenate([[0], np.cumsum(counts)])
+            for k, raw in enumerate(raws):
+                seq_full = self.site_seq[raw]
+                cached = self._seq_cache.get(seq_full)
+                if cached is None:
+                    seq = _subsequence(
+                        seq_full.decode(), self.total_neighboring_features, self.num_neighboring_features
+                    )
+                    kmer_ids = np.array(
+                        [KMER_TO_INT[seq[x : x + 5]] for x in range(self.n_positions)], dtype=np.int32
+                    )
+                    cached = (seq, kmer_ids)
+                    self._seq_cache[seq_full] = cached
+                seq, kmer_ids = cached
+                b0, b1 = boundaries[k], boundaries[k + 1]
+                kmers[b0:b1] = kmer_ids[None, :]
+                site_ids[b0:b1] = k
+                offsets[k] = b0
+                counts_buf[k] = counts[k]
+                gids[k] = global_idx + k - start
+                sites.append(
+                    Site(
+                        tx_id=self.transcripts[self.site_tx[raw]],
+                        tx_pos=int(self.site_pos[raw]),
+                        read_ids=ids_block[b0:b1],
+                        features=None,  # packed below; CSV writer doesn't use it
+                        kmer_ids=kmer_ids,
+                        sequence=seq,
+                        label=None,
+                    )
+                )
+                if self.norm_dict:
+                    mean, std = self._site_norm(seq)
+                    if mean_rows is None:
+                        mean_rows = np.empty((reads, n_features), np.float32)
+                        std_rows = np.empty((reads, n_features), np.float32)
+                    mean_rows[b0:b1] = mean
+                    std_rows[b0:b1] = std
+            if self.norm_dict:
+                block -= mean_rows
+                block /= std_rows
+            feats[:reads] = block
+
+            yield SiteBatch(feats, kmers, site_ids, offsets, counts_buf, gids, sites=sites)
+            global_idx += n_sites
+            i = j
+
     def sample_reads(self, site: Site):
         sel = self.rng.choice(site.n_reads, self.min_reads, replace=False)
         return site.features[sel], np.repeat(site.kmer_ids[None, :], self.min_reads, axis=0)

@@ -281,10 +281,18 @@ def run_inference(
 
         from ..data.prefetch import threaded_iter
 
-        batches = threaded_iter(
-            pack_sites(sites_to_score(), read_capacity=read_capacity, site_capacity=site_capacity),
-            depth=pipeline_depth + 1,
-        )
+        if hasattr(dataset, "iter_packed"):
+            # columnar fast path: vectorized block packing straight off the
+            # memory map (no per-site Python in the feed)
+            limit = None if n_total_sites is None else n_total_sites - n_done
+            packed = dataset.iter_packed(
+                global_offset + n_done, limit, read_capacity, site_capacity
+            )
+        else:
+            packed = pack_sites(
+                sites_to_score(), read_capacity=read_capacity, site_capacity=site_capacity
+            )
+        batches = threaded_iter(packed, depth=pipeline_depth + 1)
         for batch in _timed_iter(timer, "featurize+pack", batches):
             with timer.stage("dispatch"):
                 global_ids = batch.global_ids + n_done + global_offset

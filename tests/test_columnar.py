@@ -166,3 +166,52 @@ def test_replicate_columnar_computed_norm(columnar_dir, tmp_path):
     n = len(site.features) // 2
     np.testing.assert_array_equal(site.features[:n], site.features[n:])
     assert site.read_ids[0].endswith("_0") and site.read_ids[-1].endswith("_1")
+
+
+def test_columnar_host_shard_and_resume_match_full(columnar_dir, production_model, tmp_path):
+    """iter_packed honors the start/limit contract: host-sharded CSV shards
+    merge to the full result, and --resume continues mid-run."""
+    from m6anet_tpu.constants import DEFAULT_NORM_PATH, DEFAULT_READ_THRESHOLD
+    from m6anet_tpu.data.columnar import ColumnarSiteDataset
+    from m6anet_tpu.inference.engine import merge_host_shards, run_inference
+
+    model, params = production_model
+    ds = ColumnarSiteDataset(columnar_dir, min_reads=20, norm_path=DEFAULT_NORM_PATH)
+
+    full = str(tmp_path / "full")
+    run_inference(model, params, ds, full, DEFAULT_READ_THRESHOLD)
+
+    shards = str(tmp_path / "shards")
+    for host in range(3):
+        run_inference(model, params, ds, shards, DEFAULT_READ_THRESHOLD, host_shard=(host, 3))
+    merge_host_shards(shards, 3)
+
+    def assert_same(dir_a, dir_b):
+        # different batch packings reorder the f32 segment-reduction trees,
+        # so probabilities match to ~1e-6 (vs the 1e-2 golden tolerance);
+        # keys and counts are exact
+        for name in ("data.site_proba.csv", "data.indiv_proba.csv"):
+            a = pd.read_csv(os.path.join(dir_a, name))
+            b = pd.read_csv(os.path.join(dir_b, name))
+            pd.testing.assert_frame_equal(a.drop(columns=["probability_modified"]),
+                                          b.drop(columns=["probability_modified"]))
+            np.testing.assert_allclose(a.probability_modified, b.probability_modified, atol=1e-5)
+
+    assert_same(full, shards)
+
+    # resume: run with small batches, truncate both CSVs mid-way, resume
+    part = str(tmp_path / "part")
+    run_inference(model, params, ds, part, DEFAULT_READ_THRESHOLD,
+                  read_capacity=2048, site_capacity=16)
+    site_path = os.path.join(part, "data.site_proba.csv")
+    indiv_path = os.path.join(part, "data.indiv_proba.csv")
+    site_lines = open(site_path).readlines()
+    keep_sites = site_lines[: 1 + 40]  # header + 40 sites
+    kept_keys = {tuple(l.split(",")[:2]) for l in keep_sites[1:]}
+    indiv_lines = open(indiv_path).readlines()
+    keep_indiv = [indiv_lines[0]] + [l for l in indiv_lines[1:] if tuple(l.split(",")[:2]) in kept_keys]
+    open(site_path, "w").writelines(keep_sites)
+    open(indiv_path, "w").writelines(keep_indiv)
+    run_inference(model, params, ds, part, DEFAULT_READ_THRESHOLD,
+                  read_capacity=2048, site_capacity=16, resume=True)
+    assert_same(full, part)
