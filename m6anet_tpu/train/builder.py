@@ -11,7 +11,19 @@ from .losses import build_loss_function  # noqa: F401  — re-exported for scrip
 
 
 def build_mode_dataset(config: Dict, mode: str):
-    return build_dataset(config["root_dir"], **{k: v for k, v in config.items() if k != "root_dir"}, mode=mode)
+    """[dataset] table -> dataset.  ``format = "columnar"`` (an extension of
+    the reference's TOML surface) trains off the memory-mapped columnar store
+    instead of data.json; everything else matches the reference's builder."""
+    kwargs = {k: v for k, v in config.items() if k not in ("root_dir", "format")}
+    if config.get("format") == "columnar":
+        from ..data.columnar import ColumnarSiteDataset
+
+        root = config["root_dir"]
+        if not isinstance(root, str):
+            raise ValueError("format='columnar' training supports a single root_dir")
+        kwargs.pop("n_processes", None)  # json-path norm computation knob
+        return ColumnarSiteDataset(root, **kwargs, mode=mode)
+    return build_dataset(config["root_dir"], **kwargs, mode=mode)
 
 
 def build_dataloader(train_config: Dict, num_workers: int, verbose: bool = True) -> Tuple[TrainLoader, TrainLoader, TrainLoader]:

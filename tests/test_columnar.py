@@ -215,3 +215,35 @@ def test_columnar_host_shard_and_resume_match_full(columnar_dir, production_mode
     run_inference(model, params, ds, part, DEFAULT_READ_THRESHOLD,
                   read_capacity=2048, site_capacity=16, resume=True)
     assert_same(full, part)
+
+
+def test_columnar_train_toml_surface(columnar_dir, tmp_path):
+    """format='columnar' in the [dataset] TOML table trains off the store."""
+    import shutil
+
+    shutil.copyfile(
+        "/root/reference/m6anet/tests/data/data.info.labelled",
+        os.path.join(columnar_dir, "data.info.labelled"),
+    )
+    from m6anet_tpu.constants import DEFAULT_NORM_PATH
+    from m6anet_tpu.train.builder import build_dataloader
+
+    cfg = {
+        "dataset": {
+            "root_dir": columnar_dir,
+            "format": "columnar",
+            "min_reads": 20,
+            "norm_path": DEFAULT_NORM_PATH,
+            "num_neighboring_features": 1,
+        },
+        "dataloader": {
+            "train": {"batch_size": 4, "shuffle": True},
+            "val": {"batch_size": 4},
+            "test": {"batch_size": 4},
+        },
+    }
+    train_dl, val_dl, test_dl = build_dataloader(cfg, num_workers=0, verbose=False)
+    batch = next(iter(train_dl))
+    assert batch["X"].shape[1:] == (20, 9)
+    assert batch["kmer"].shape[1:] == (20, 3)
+    assert set(np.unique(batch["y"])) <= {0.0, 1.0}
