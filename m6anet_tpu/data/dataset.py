@@ -412,10 +412,16 @@ class ConcatSiteDataset:
     """Disjoint shard concatenation: several dataprep output directories
     treated as ONE dataset (multi-host dataprep shards; unlike
     ReplicateSiteDataset the shards cover different transcripts, so read ids
-    are kept as-is and nothing is pooled)."""
+    are kept as-is and nothing is pooled).  ``columnar=True`` reads each
+    shard's columnar store instead of data.json."""
 
-    def __init__(self, root_dirs: Sequence[str], **kwargs):
-        self.parts = [SiteDataset(d, **kwargs) for d in root_dirs]
+    def __init__(self, root_dirs: Sequence[str], columnar: bool = False, **kwargs):
+        if columnar:
+            from .columnar import ColumnarSiteDataset
+
+            self.parts = [ColumnarSiteDataset(d, **kwargs) for d in root_dirs]
+        else:
+            self.parts = [SiteDataset(d, **kwargs) for d in root_dirs]
         self._offsets = np.cumsum([0] + [len(p) for p in self.parts])
 
     def __len__(self) -> int:

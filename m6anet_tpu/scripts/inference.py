@@ -169,7 +169,8 @@ def main(args):
         from ..data.dataset import ConcatSiteDataset
 
         dataset = ConcatSiteDataset(
-            list(input_dir), min_reads=args.min_reads, norm_path=norm_path, mode="Inference"
+            list(input_dir), columnar=getattr(args, "columnar", False),
+            min_reads=args.min_reads, norm_path=norm_path, mode="Inference",
         )
     elif getattr(args, "columnar", False):
         if isinstance(root_dir, str):

@@ -247,3 +247,19 @@ def test_columnar_train_toml_surface(columnar_dir, tmp_path):
     assert batch["X"].shape[1:] == (20, 9)
     assert batch["kmer"].shape[1:] == (20, 3)
     assert set(np.unique(batch["y"])) <= {0.0, 1.0}
+
+
+def test_concat_shards_columnar(columnar_dir, production_model, tmp_path):
+    """--concat_shards + --columnar: shard stores concatenate as one dataset."""
+    from m6anet_tpu.constants import DEFAULT_NORM_PATH, DEFAULT_READ_THRESHOLD
+    from m6anet_tpu.data.columnar import ColumnarSiteDataset
+    from m6anet_tpu.data.dataset import ConcatSiteDataset
+
+    ds1 = ColumnarSiteDataset(columnar_dir, min_reads=20, norm_path=DEFAULT_NORM_PATH)
+    both = ConcatSiteDataset(
+        [columnar_dir, columnar_dir], columnar=True, min_reads=20, norm_path=DEFAULT_NORM_PATH
+    )
+    assert len(both) == 2 * len(ds1)
+    a, b = ds1.get_site(3), both.get_site(len(ds1) + 3)
+    assert a.tx_id == b.tx_id and a.tx_pos == b.tx_pos
+    np.testing.assert_array_equal(a.features, b.features)
