@@ -141,3 +141,23 @@ def read_index_arrays(index_path: str):
         df["pos_start"].to_numpy(),
         df["pos_end"].to_numpy(),
     )
+
+
+def read_index_grouped(index_path: str):
+    """Factorized eventalign.index load: (codes int32[], names list[str],
+    read_index int64[], pos_start int64[], pos_end int64[]) with codes in
+    first-appearance order — no per-row Python strings.
+
+    Native single-pass parser when available; pandas + factorize fallback."""
+    from ..native import native_load_index
+
+    native = native_load_index(index_path)
+    if native is not None:
+        codes, read_idx, starts, ends, names = native
+        return codes, names, read_idx, starts, ends
+
+    import pandas as pd
+
+    tx_ids, read_idx, starts, ends = read_index_arrays(index_path)
+    codes, uniques = pd.factorize(tx_ids)
+    return codes.astype(np.int32), [str(u) for u in uniques], read_idx, starts, ends

@@ -201,21 +201,19 @@ def iter_transcript_tasks(index_rows) -> Iterator[Tuple[str, List[Tuple[int, int
     yield from by_tx.items()
 
 
-def iter_transcript_tasks_arrays(tx_ids, read_idx, starts, ends):
+def iter_transcript_tasks_arrays(codes, names, read_idx, starts, ends):
     """Array-form grouping: yields (tx_id, (read_idx, starts, ends)) per
-    transcript in first-appearance order — same ordering contract as
+    transcript in first-appearance order (codes are first-appearance
+    factorized, see indexer.read_index_grouped) — same ordering contract as
     :func:`iter_transcript_tasks` without one Python tuple per index row."""
-    import pandas as pd
-
-    codes, uniques = pd.factorize(tx_ids)  # first-appearance order
     order = np.argsort(codes, kind="stable")
     sorted_codes = codes[order]
     bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
     group_starts = np.concatenate([[0], bounds])
     group_ends = np.concatenate([bounds, [len(codes)]])
-    for g in range(len(uniques)):
+    for g in range(len(names)):
         idx = order[group_starts[g] : group_ends[g]]
-        yield str(uniques[g]), (
+        yield names[g], (
             np.ascontiguousarray(read_idx[idx]),
             np.ascontiguousarray(starts[idx]),
             np.ascontiguousarray(ends[idx]),
@@ -303,9 +301,9 @@ def _run_dataprep(
     if not skip_index or not os.path.exists(index_path):
         build_index(eventalign_path, out_dir)
 
-    from .indexer import read_index_arrays
+    from .indexer import read_index_grouped
 
-    idx_tx, idx_read, idx_start, idx_end = read_index_arrays(index_path)
+    idx_codes, idx_names, idx_read, idx_start, idx_end = read_index_grouped(index_path)
 
     json_path = os.path.join(out_dir, "data.json")
     info_path = os.path.join(out_dir, "data.info")
@@ -314,12 +312,12 @@ def _run_dataprep(
     tx_filter = None
     if host_shard is not None:
         host_id, n_hosts = host_shard
-        all_tx = list(dict.fromkeys(idx_tx.tolist()))
+        all_tx = idx_names  # first-appearance order, already unique
         per = -(-len(all_tx) // n_hosts)
         tx_filter = set(all_tx[host_id * per : (host_id + 1) * per])
 
     def task_args():
-        for tx_id, slices in iter_transcript_tasks_arrays(idx_tx, idx_read, idx_start, idx_end):
+        for tx_id, slices in iter_transcript_tasks_arrays(idx_codes, idx_names, idx_read, idx_start, idx_end):
             if tx_filter is not None and tx_id not in tx_filter:
                 continue
             # readcount gates count *attempted* reads, capped by the break at

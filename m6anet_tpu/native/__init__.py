@@ -427,3 +427,53 @@ def native_render_indiv_csv_batch(
     if written < 0:
         return None
     return buf[: int(written)].tobytes()
+
+
+def native_load_index(index_path: str):
+    """Parse eventalign.index natively: one pass, transcript ids factorized
+    to first-appearance codes (no per-row Python strings).
+
+    Returns (codes int32, read_idx int64, pos_start int64, pos_end int64,
+    names list[str]) or None when unavailable.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ea_load_index"):
+        return None
+    import ctypes
+
+    if not hasattr(lib, "_load_index_configured"):
+        lib.ea_load_index.restype = ctypes.c_longlong
+        lib.ea_load_index.argtypes = (
+            [ctypes.c_char_p] + [ctypes.c_void_p] * 4 + [ctypes.c_int64]
+            + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        )
+        lib._load_index_configured = True
+
+    fsize = os.path.getsize(index_path)
+    # exact row count (newline scan) keeps the output arrays tight — the
+    # caller consumes them directly, no trailing copies or page-fault waste
+    mm = np.memmap(index_path, np.uint8, mode="r")
+    cap_rows = int(np.count_nonzero(mm == 10))  # includes the header line
+    del mm
+    codes = np.empty(cap_rows, np.int32)
+    read_idx = np.empty(cap_rows, np.int64)
+    pos_start = np.empty(cap_rows, np.int64)
+    pos_end = np.empty(cap_rows, np.int64)
+    name_buf = np.empty(fsize + 1, np.uint8)
+    meta = np.zeros(2, np.int64)  # [n_uniq, name_bytes]
+    rows = lib.ea_load_index(
+        index_path.encode(), codes.ctypes.data, read_idx.ctypes.data,
+        pos_start.ctypes.data, pos_end.ctypes.data, cap_rows,
+        name_buf.ctypes.data, len(name_buf), meta.ctypes.data,
+    )
+    if rows < 0:
+        return None
+    rows = int(rows)
+    names = name_buf[: int(meta[1])].tobytes().decode().split("\n")[: int(meta[0])]
+    return (
+        codes[:rows],
+        read_idx[:rows],
+        pos_start[:rows],
+        pos_end[:rows],
+        names,
+    )

@@ -720,6 +720,111 @@ long long ea_render_indiv_csv(const char* prefix, int64_t prefix_len,
   return static_cast<long long>(p - out);
 }
 
+// Parse eventalign.index (header + 4 CSV columns) in one pass.
+// Transcript ids are deduplicated to first-appearance codes so the caller
+// never materialises per-row strings:
+//   codes     int32[n_rows]   transcript code per row
+//   read_idx/pos_start/pos_end  int64[n_rows]
+//   name_buf  char[name_cap]  unique names, '\n'-separated, appearance order
+// Returns n_rows (writes [n_uniq, name_bytes] via out_n_uniq), -1 on I/O
+// error, -2 on overflow of caller buffers.
+long long ea_load_index(const char* path, int32_t* codes, int64_t* read_idx,
+                        int64_t* pos_start, int64_t* pos_end,
+                        int64_t cap_rows, char* name_buf, int64_t name_cap,
+                        int64_t* out_n_uniq) {
+  FILE* in = fopen(path, "rb");
+  if (in == nullptr) return -1;
+  fseeko(in, 0, SEEK_END);
+  int64_t fsize = ftello(in);
+  fseeko(in, 0, SEEK_SET);
+  std::vector<char> buf(static_cast<size_t>(fsize));
+  if (fread(buf.data(), 1, static_cast<size_t>(fsize), in) !=
+      static_cast<size_t>(fsize)) {
+    fclose(in);
+    return -1;
+  }
+  fclose(in);
+
+  struct SvHash {
+    size_t operator()(const std::pair<const char*, size_t>& s) const {
+      size_t h = 1469598103934665603ull;
+      for (size_t i = 0; i < s.second; ++i) {
+        h ^= static_cast<unsigned char>(s.first[i]);
+        h *= 1099511628211ull;
+      }
+      return h;
+    }
+  };
+  struct SvEq {
+    bool operator()(const std::pair<const char*, size_t>& a,
+                    const std::pair<const char*, size_t>& b) const {
+      return a.second == b.second && memcmp(a.first, b.first, a.second) == 0;
+    }
+  };
+  std::unordered_map<std::pair<const char*, size_t>, int32_t, SvHash, SvEq> ids;
+
+  const char* p = buf.data();
+  const char* end = buf.data() + fsize;
+  // skip header
+  const char* nl = static_cast<const char*>(memchr(p, '\n', fsize));
+  if (nl == nullptr) return -1;
+  p = nl + 1;
+
+  long long rows = 0;
+  char* np = name_buf;
+  char* nend = name_buf + name_cap;
+  int32_t n_uniq = 0;
+  const char* last_key_p = nullptr;
+  size_t last_key_len = 0;
+  int32_t last_code = -1;
+  while (p < end) {
+    nl = static_cast<const char*>(memchr(p, '\n', static_cast<size_t>(end - p)));
+    const char* line_end = nl ? nl : end;
+    if (line_end == p) { p = line_end + 1; continue; }
+    if (rows >= cap_rows) return -2;
+    const char* c1 = static_cast<const char*>(memchr(p, ',', static_cast<size_t>(line_end - p)));
+    if (c1 == nullptr) return -1;
+    const size_t key_len = static_cast<size_t>(c1 - p);
+    int32_t code;
+    // rows are grouped by transcript: the previous row's key almost always
+    // repeats, so skip the hash lookup for it
+    if (last_key_p != nullptr && key_len == last_key_len &&
+        memcmp(p, last_key_p, key_len) == 0) {
+      code = last_code;
+    } else {
+      auto key = std::make_pair(p, key_len);
+      auto it = ids.find(key);
+      if (it == ids.end()) {
+        if (nend - np < static_cast<int64_t>(key_len) + 1) return -2;
+        memcpy(np, p, key_len);
+        np += key_len;
+        *np++ = '\n';
+        it = ids.emplace(key, n_uniq++).first;
+      }
+      code = it->second;
+      last_key_p = it->first.first;
+      last_key_len = key_len;
+      last_code = code;
+    }
+    codes[rows] = code;
+    const char* q = c1 + 1;
+    long long v = 0;
+    for (; q < line_end && *q != ','; ++q) v = v * 10 + (*q - '0');
+    read_idx[rows] = v;
+    v = 0;
+    for (++q; q < line_end && *q != ','; ++q) v = v * 10 + (*q - '0');
+    pos_start[rows] = v;
+    v = 0;
+    for (++q; q < line_end; ++q) v = v * 10 + (*q - '0');
+    pos_end[rows] = v;
+    ++rows;
+    p = line_end + 1;
+  }
+  out_n_uniq[0] = n_uniq;
+  out_n_uniq[1] = static_cast<int64_t>(np - name_buf);
+  return rows;
+}
+
 // Render a whole batch of sites' indiv_proba CSV rows in one call:
 // for site i, for each of its site_counts[i] reads:
 //   "<prefix_i><read_id>,<prob .16 fixed>\n"
