@@ -185,6 +185,57 @@ def featurize_transcript(
     return records
 
 
+def featurize_transcript_chunk(
+    eventalign_path: str,
+    names: List[str],
+    read_idx_parts: List[np.ndarray],
+    start_parts: List[np.ndarray],
+    end_parts: List[np.ndarray],
+    n_neighbors: int,
+    min_segment_count: int,
+    compress: bool,
+    emit_json: bool,
+):
+    """Featurize MANY transcripts with one native call.
+
+    Returns [(tx_id, [SiteRecord, ...]), ...] in input order, or None when
+    the native batched path is unavailable (caller falls back per
+    transcript).
+    """
+    from ..native import native_process_transcripts
+
+    bounds = np.zeros(len(names) + 1, np.int64)
+    np.cumsum([len(r) for r in read_idx_parts], out=bounds[1:])
+    out = native_process_transcripts(
+        eventalign_path, names, bounds,
+        np.concatenate(read_idx_parts), np.concatenate(start_parts), np.concatenate(end_parts),
+        n_neighbors, min_segment_count, compress, emit_json,
+    )
+    if out is None:
+        return None
+    tx_counts, site_pos, site_seq, site_nreads, feats, read_ids, json_lines = out
+    results: List[Tuple[str, List[SiteRecord]]] = []
+    site_cur = 0
+    row_cur = 0
+    for t, name in enumerate(names):
+        records: List[SiteRecord] = []
+        for _ in range(int(tx_counts[t])):
+            n = int(site_nreads[site_cur])
+            records.append(
+                (
+                    int(site_pos[site_cur]),
+                    site_seq[site_cur].decode(),
+                    feats[row_cur : row_cur + n],
+                    read_ids[row_cur : row_cur + n],
+                    json_lines[site_cur] if json_lines is not None else None,
+                )
+            )
+            row_cur += n
+            site_cur += 1
+        results.append((name, records))
+    return results
+
+
 def _featurize_task(args) -> Tuple[str, List[SiteRecord]]:
     tx_id, read_slices, n_neighbors, min_segment_count, compress, emit_json = args
     return tx_id, featurize_transcript(
@@ -366,16 +417,52 @@ def _run_dataprep(
             f_info.write("".join(info_rows))
             f_log.write(f"{tx_id}: Data preparation ... Done.\n")
 
+        # Transcripts are grouped into multi-MB chunks so the native core is
+        # crossed once per CHUNK, not once per transcript (the ctypes
+        # round-trip dominates on many-small-transcript inputs).
+        CHUNK_BYTES = 8 << 20
+        CHUNK_TX = 256
+
+        def chunk_args():
+            names, ris, sss, ees, total = [], [], [], [], 0
+            for tx_id, (ri, ss, ee), *_ in task_args():
+                names.append(tx_id)
+                ris.append(ri)
+                sss.append(ss)
+                ees.append(ee)
+                total += int((ee - ss).sum())
+                if total >= CHUNK_BYTES or len(names) >= CHUNK_TX:
+                    yield names, ris, sss, ees
+                    names, ris, sss, ees, total = [], [], [], [], 0
+            if names:
+                yield names, ris, sss, ees
+
+        def run_chunk(chunk):
+            names, ris, sss, ees = chunk
+            out = featurize_transcript_chunk(
+                eventalign_path, names, ris, sss, ees,
+                n_neighbors, min_segment_count, compress, emit_json,
+            )
+            if out is None:  # no native library: per-transcript fallback
+                out = []
+                with open_eventalign(eventalign_path, buffering=1024 * 1024) as ev:
+                    for name, ri, ss, ee in zip(names, ris, sss, ees):
+                        out.append(
+                            (
+                                name,
+                                featurize_transcript(
+                                    name, (ri, ss, ee), n_neighbors,
+                                    min_segment_count, compress,
+                                    eventalign_file=ev, emit_json=emit_json,
+                                ),
+                            )
+                        )
+            return out
+
         if n_processes <= 1:
-            with open_eventalign(eventalign_path, buffering=1024 * 1024) as ev:
-                for tx_id, slices, nn, msc, comp, ej in task_args():
-                    write_result(
-                        tx_id,
-                        featurize_transcript(
-                            tx_id, slices, nn, msc, comp, eventalign_file=ev,
-                            emit_json=ej, eventalign_path=eventalign_path,
-                        ),
-                    )
+            for chunk in chunk_args():
+                for tx_id, records in run_chunk(chunk):
+                    write_result(tx_id, records)
         else:
             # Thread workers, not processes: the native core does the heavy
             # parsing with the GIL released (and is itself threaded over
@@ -389,22 +476,17 @@ def _run_dataprep(
             # core single-threaded per call to avoid oversubscription
             os.environ.setdefault("M6A_NATIVE_THREADS", "1")
 
-            def run_task(args):
-                tx_id, slices, nn, msc, comp, ej = args
-                return tx_id, featurize_transcript(
-                    tx_id, slices, nn, msc, comp,
-                    emit_json=ej, eventalign_path=eventalign_path,
-                )
-
             with ThreadPoolExecutor(max_workers=n_processes) as pool:
                 pending = deque()
                 max_pending = n_processes * 4
-                for args in task_args():
-                    pending.append(pool.submit(run_task, args))
+                for chunk in chunk_args():
+                    pending.append(pool.submit(run_chunk, chunk))
                     while len(pending) >= max_pending:
-                        write_result(*pending.popleft().result())
+                        for tx_id, records in pending.popleft().result():
+                            write_result(tx_id, records)
                 while pending:
-                    write_result(*pending.popleft().result())
+                    for tx_id, records in pending.popleft().result():
+                        write_result(tx_id, records)
 
     if columnar_writer is not None:
         columnar_writer.finalize()

@@ -477,3 +477,114 @@ def native_load_index(index_path: str):
         pos_end[:rows],
         names,
     )
+
+
+def native_process_transcripts(
+    eventalign_path: str,
+    tx_names,  # list[str]
+    tx_bounds: np.ndarray,  # int64[n_tx+1] prefix into the read arrays
+    read_idx: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    window_size: int,
+    min_segment_count: int,
+    compress: bool,
+    emit_json: bool,
+):
+    """Batched whole-transcript featurization: many transcripts, ONE native
+    call (the per-call crossing dominates on many-small-transcript inputs).
+
+    Returns (tx_site_counts int64[n_tx], site_pos, site_seq S(5+2w),
+    site_nreads, features (rows, 3*(2w+1)) float64, read_ids, json_lines
+    list[bytes] | None) — concatenated in transcript order — or None when
+    the native path is unavailable.
+    """
+    if eventalign_path.endswith(".gz"):
+        return None
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ea_process_transcripts"):
+        return None
+    import ctypes
+
+    if not hasattr(lib, "_process_batch_configured"):
+        lib.ea_process_transcripts.restype = ctypes.c_longlong
+        lib.ea_process_transcripts.argtypes = (
+            [ctypes.c_char_p] + [ctypes.c_void_p] * 6 + [ctypes.c_int64]
+            + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+               ctypes.c_int32, ctypes.c_int32]
+            + [ctypes.c_void_p] * 6
+            + [ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+        )
+        lib._process_batch_configured = True
+
+    tx_bounds = np.ascontiguousarray(tx_bounds, dtype=np.int64)
+    read_idx = np.ascontiguousarray(read_idx, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    n_tx = len(tx_names)
+    names_blob = "".join(tx_names).encode()
+    name_off = np.zeros(n_tx + 1, np.int64)
+    np.cumsum([len(n.encode()) for n in tx_names], out=name_off[1:])
+    motifs = _motif_buffer()
+    seq_len = 5 + 2 * window_size
+    nfeat = 3 * (2 * window_size + 1)
+    cap_windows = int((ends - starts).sum() // 30) + len(starts) + 16 * n_tx
+    cap_sites = cap_windows + n_tx
+    json_cap = (cap_windows * 26 * (nfeat + 1) + cap_sites * (seq_len + 64)) if emit_json else 1
+
+    sc = getattr(_scratch, "batch_bufs", None)
+    if sc is None or sc["cap_windows"] < cap_windows or sc["seq_len"] != seq_len or sc["json_cap"] < json_cap or sc["cap_sites"] < cap_sites:
+        grow_w = max(cap_windows, 0 if sc is None else sc["cap_windows"])
+        grow_s = max(cap_sites, 0 if sc is None else sc["cap_sites"])
+        grow_j = max(json_cap, 0 if sc is None else sc["json_cap"])
+        sc = {
+            "cap_windows": grow_w,
+            "cap_sites": grow_s,
+            "seq_len": seq_len,
+            "json_cap": grow_j,
+            "site_pos": np.empty(grow_s, np.int64),
+            "site_seq": np.empty(grow_s * seq_len, np.uint8),
+            "site_nreads": np.empty(grow_s, np.int64),
+            "feat_out": np.empty(grow_w * nfeat, np.float64),
+            "read_out": np.empty(grow_w, np.int64),
+            "json_buf": np.empty(grow_j, np.uint8),
+            "json_len": np.empty(grow_s, np.int64),
+        }
+        _scratch.batch_bufs = sc
+
+    tx_site_counts = np.zeros(n_tx, np.int64)
+    n_sites = lib.ea_process_transcripts(
+        eventalign_path.encode(), names_blob, name_off.ctypes.data,
+        tx_bounds.ctypes.data, starts.ctypes.data, ends.ctypes.data,
+        read_idx.ctypes.data, n_tx,
+        motifs.ctypes.data, len(motifs) // 5, window_size, min_segment_count,
+        1 if compress else 0, 1 if emit_json else 0,
+        tx_site_counts.ctypes.data, sc["site_pos"].ctypes.data,
+        sc["site_seq"].ctypes.data, sc["site_nreads"].ctypes.data,
+        sc["feat_out"].ctypes.data, sc["read_out"].ctypes.data,
+        sc["json_buf"].ctypes.data, sc["json_cap"], sc["json_len"].ctypes.data,
+        sc["cap_sites"], sc["cap_windows"],
+    )
+    if n_sites < 0:
+        return None
+    n_sites = int(n_sites)
+    site_nreads = sc["site_nreads"][:n_sites].copy()
+    total_rows = int(site_nreads.sum()) if n_sites else 0
+    json_lines = None
+    if emit_json:
+        lens = sc["json_len"][:n_sites]
+        raw = sc["json_buf"][: int(lens.sum())].tobytes()
+        json_lines = []
+        off = 0
+        for ln in lens.tolist():
+            json_lines.append(raw[off : off + ln])
+            off += ln
+    return (
+        tx_site_counts,
+        sc["site_pos"][:n_sites].copy(),
+        sc["site_seq"][: n_sites * seq_len].view(f"S{seq_len}").copy(),
+        site_nreads,
+        sc["feat_out"][: total_rows * nfeat].reshape(-1, nfeat).copy(),
+        sc["read_out"][:total_rows].copy(),
+        json_lines,
+    )

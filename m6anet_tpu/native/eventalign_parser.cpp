@@ -635,6 +635,57 @@ long long ea_process_transcript(
   return n_sites;
 }
 
+// Batched form: process n_tx transcripts in one call (the per-call Python /
+// ctypes crossing dominates on many-small-transcript inputs).  Outputs are
+// the single-transcript layouts concatenated in transcript order, with
+// tx_site_counts giving each transcript's site count.
+//   tx_names/tx_name_off   concatenated ids + n_tx+1 offsets
+//   tx_bounds              n_tx+1 prefix into the read arrays
+// Returns total sites, or -1 I/O error, -2 buffer overflow.
+long long ea_process_transcripts(
+    const char* path, const char* tx_names, const int64_t* tx_name_off,
+    const int64_t* tx_bounds, const int64_t* starts, const int64_t* ends,
+    const int64_t* read_idx, int64_t n_tx, const uint8_t* motifs,
+    int64_t n_motifs, int64_t w, int64_t min_segment_count, int32_t compress,
+    int32_t emit_json, int64_t* tx_site_counts, int64_t* site_pos,
+    uint8_t* site_seq, int64_t* site_nreads, double* feat_out,
+    int64_t* read_out, char* json_out, int64_t json_cap, int64_t* json_len,
+    int64_t cap_sites, int64_t cap_windows) {
+  const int64_t seq_len = 5 + 2 * w;
+  const int64_t nfeat = 3 * (2 * w + 1);
+  int64_t site_cur = 0, window_cur = 0, json_cur = 0;
+  std::string name;
+  for (int64_t t = 0; t < n_tx; ++t) {
+    const int64_t b0 = tx_bounds[t], b1 = tx_bounds[t + 1];
+    const int64_t n_reads = b1 - b0;
+    name.assign(tx_names + tx_name_off[t],
+                static_cast<size_t>(tx_name_off[t + 1] - tx_name_off[t]));
+    // per-transcript caps: bound the scratch allocations inside the single-
+    // transcript routine by this transcript's own size, not the whole chunk
+    int64_t tx_bytes = 0;
+    for (int64_t r = b0; r < b1; ++r) tx_bytes += ends[r] - starts[r];
+    const int64_t est = tx_bytes / 30 + n_reads + 16;
+    const int64_t cap_w = std::min(est, cap_windows - window_cur);
+    const int64_t cap_s = std::min(est + 1, cap_sites - site_cur);
+    if (cap_w <= 0 || cap_s <= 0) return -2;
+    long long ns = ea_process_transcript(
+        path, name.c_str(), starts + b0, ends + b0, read_idx + b0, n_reads,
+        motifs, n_motifs, w, min_segment_count, compress, emit_json,
+        site_pos + site_cur, site_seq + site_cur * seq_len,
+        site_nreads + site_cur, feat_out + window_cur * nfeat,
+        read_out + window_cur, json_out + json_cur, json_cap - json_cur,
+        json_len + site_cur, cap_s, cap_w);
+    if (ns < 0) return ns;
+    tx_site_counts[t] = ns;
+    for (long long s = 0; s < ns; ++s) {
+      window_cur += site_nreads[site_cur + s];
+      if (emit_json) json_cur += json_len[site_cur + s];
+    }
+    site_cur += ns;
+  }
+  return site_cur;
+}
+
 }  // extern "C"
 
 extern "C" {
