@@ -315,3 +315,77 @@ def test_fuzz_native_vs_python_pipeline(tmp_path):
         import json as _json
 
         assert _json.loads(jn) and _json.loads(jp)
+
+
+def test_interleaved_transcripts_group_in_first_appearance_order(tmp_path):
+    """Transcripts whose reads interleave in eventalign.txt are still grouped
+    per transcript, in first-appearance order (the reference's dict.setdefault
+    grouping, m6anet/utils/dataprep_utils.py:370-379); the native factorized
+    index loader and the chunked runner must preserve this."""
+    from m6anet_tpu.dataprep.indexer import read_index_grouped
+    from m6anet_tpu.dataprep.runner import run_dataprep
+
+    src = "/root/reference/m6anet/tests/data/eventalign.txt"
+    with open(src) as f:
+        header = f.readline()
+        lines = f.readlines()
+
+    # Split the demo's per-read blocks and interleave them between two
+    # pseudo-transcript namespaces: A-reads, then B-reads, alternating.
+    blocks = []
+    cur_key, cur = None, []
+    for ln in lines:
+        tx, _, rest = ln.partition("\t")
+        read = ln.split("\t")[3]
+        key = (tx, read)
+        if key != cur_key:
+            if cur:
+                blocks.append((cur_key, cur))
+            cur_key, cur = key, []
+        cur.append(ln)
+    blocks.append((cur_key, cur))
+
+    path = tmp_path / "interleaved.txt"
+    with open(path, "w") as out:
+        out.write(header)
+        for i, ((tx, _), blk) in enumerate(blocks):
+            ns = "A" if i % 2 == 0 else "B"
+            for ln in blk:
+                out.write(f"{ns}{ln}")
+
+    out_dir = tmp_path / "out"
+    run_dataprep(str(path), str(out_dir), n_processes=2, readcount_min=1,
+                 readcount_max=1000, min_segment_count=1, n_neighbors=1)
+
+    codes, names, *_ = read_index_grouped(str(out_dir / "eventalign.index"))
+    # first-appearance order: names must appear in the order their first read
+    # block appears in the file
+    seen = []
+    for i, ((tx, _), _b) in enumerate(blocks):
+        ns = "A" if i % 2 == 0 else "B"
+        nm = f"{ns}{tx}"
+        if nm not in seen:
+            seen.append(nm)
+    assert names == seen
+
+    # every transcript's data.info rows are contiguous, transcripts in
+    # first-appearance order of those that produced sites
+    info = pd.read_csv(out_dir / "data.info")
+    tx_order = list(dict.fromkeys(info.transcript_id))
+    assert info.transcript_id.tolist() == [
+        t for t in tx_order for _ in range((info.transcript_id == t).sum())
+    ]
+    filtered_seen = [t for t in seen if t in set(tx_order)]
+    assert tx_order == filtered_seen
+
+    # read counts per namespaced site must match the original demo dataprep
+    base_out = tmp_path / "base"
+    run_dataprep(src, str(base_out), n_processes=1, readcount_min=1,
+                 readcount_max=1000, min_segment_count=1, n_neighbors=1)
+    base = pd.read_csv(base_out / "data.info")
+    merged = info.copy()
+    merged["orig"] = merged.transcript_id.str[1:]
+    combined = merged.groupby(["orig", "transcript_position"]).n_reads.sum()
+    base_keyed = base.set_index(["transcript_id", "transcript_position"]).n_reads
+    for (tx, pos), n in combined.items():
+        assert base_keyed.loc[(tx, pos)] == n, (tx, pos)
