@@ -15,9 +15,7 @@ reference's own readers (and ours) can seek straight to any site.
 from __future__ import annotations
 
 import json
-import multiprocessing
 import os
-from concurrent.futures import FIRST_COMPLETED, ProcessPoolExecutor, wait
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -29,15 +27,6 @@ from .windowing import window_read
 # One featurized site: (position, sequence context, features (n, 3*(2w+1))
 # float64, read indices, pre-rendered data.json line (bytes) or None)
 SiteRecord = Tuple[int, str, np.ndarray, np.ndarray, Optional[bytes]]
-
-_worker_eventalign_path: Optional[str] = None
-_worker_file = None
-
-
-def _worker_init(eventalign_path: str):
-    global _worker_eventalign_path, _worker_file
-    _worker_eventalign_path = eventalign_path
-    _worker_file = open_eventalign(eventalign_path, buffering=1024 * 1024)
 
 
 def featurize_transcript(
@@ -62,7 +51,7 @@ def featurize_transcript(
     (m6anet_tpu/native/); the numpy combiner is the fallback (gzipped input,
     missing toolchain).
     """
-    path = eventalign_path or _worker_eventalign_path
+    path = eventalign_path
     if isinstance(read_slices, tuple) and len(read_slices) == 3:
         slice_reads, slice_starts, slice_ends = read_slices
     else:
@@ -125,7 +114,9 @@ def featurize_transcript(
         read_ids = np.repeat(slice_reads, counts)[window_mask]
     else:
         per_read: Dict[int, Tuple] = {}
-        f = eventalign_file if eventalign_file is not None else _worker_file
+        f = eventalign_file
+        if f is None:
+            raise ValueError("no native library and no eventalign_file handle")
         for read_index, start, end in zip(slice_reads.tolist(), slice_starts.tolist(), slice_ends.tolist()):
             f.seek(start)
             combined = combine_read(f.read(end - start))
@@ -234,13 +225,6 @@ def featurize_transcript_chunk(
             site_cur += 1
         results.append((name, records))
     return results
-
-
-def _featurize_task(args) -> Tuple[str, List[SiteRecord]]:
-    tx_id, read_slices, n_neighbors, min_segment_count, compress, emit_json = args
-    return tx_id, featurize_transcript(
-        tx_id, read_slices, n_neighbors, min_segment_count, compress, emit_json=emit_json
-    )
 
 
 def iter_transcript_tasks(index_rows) -> Iterator[Tuple[str, List[Tuple[int, int, int]]]]:
