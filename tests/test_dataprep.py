@@ -389,3 +389,53 @@ def test_interleaved_transcripts_group_in_first_appearance_order(tmp_path):
     base_keyed = base.set_index(["transcript_id", "transcript_position"]).n_reads
     for (tx, pos), n in combined.items():
         assert base_keyed.loc[(tx, pos)] == n, (tx, pos)
+
+
+def test_compress_rounds_to_3_decimals(eventalign_fpath, demo_dataprep_dir, tmp_path):
+    """--compress rounds every stored feature to 3 decimals
+    (reference: m6anet/utils/dataprep_utils.py:460-461), in the chunked
+    native pipeline too."""
+    import json
+
+    from m6anet_tpu.dataprep import run_dataprep
+
+    out = tmp_path / "compressed"
+    run_dataprep(eventalign_fpath, str(out), n_processes=2, readcount_min=1,
+                 readcount_max=1000, min_segment_count=1, n_neighbors=1,
+                 compress=True)
+
+    plain_info = pd.read_csv(os.path.join(demo_dataprep_dir, "data.info"))
+    comp_info = pd.read_csv(out / "data.info")
+    assert (plain_info.n_reads.values == comp_info.n_reads.values).all()
+
+    with open(os.path.join(demo_dataprep_dir, "data.json")) as f_plain, open(
+        out / "data.json"
+    ) as f_comp:
+        for _ in range(25):
+            plain = json.loads(f_plain.readline())
+            comp = json.loads(f_comp.readline())
+            for tx, positions in comp.items():
+                for pos, kmers in positions.items():
+                    for kmer, rows in kmers.items():
+                        plain_rows = plain[tx][pos][kmer]
+                        for r, pr in zip(rows, plain_rows):
+                            assert r[:-1] == [round(v, 3) for v in pr[:-1]]
+                            assert r[-1] == pr[-1]  # read id untouched
+
+
+def test_dataprep_header_only_input(tmp_path):
+    """An eventalign file with no event rows produces empty-but-valid outputs."""
+    from m6anet_tpu.dataprep import run_dataprep
+
+    path = tmp_path / "empty.txt"
+    with open(path, "w") as f:
+        f.write("contig\tposition\treference_kmer\tread_index\tstrand\tevent_index\t"
+                "event_level_mean\tevent_stdv\tevent_length\tmodel_kmer\tmodel_mean\t"
+                "model_stdv\tstandardized_level\tstart_idx\tend_idx\n")
+    out = tmp_path / "out"
+    run_dataprep(str(path), str(out), n_processes=2, readcount_min=1,
+                 readcount_max=1000, min_segment_count=1, n_neighbors=1,
+                 output_format="both")
+    info = pd.read_csv(out / "data.info")
+    assert len(info) == 0
+    assert os.path.getsize(out / "data.json") == 0
