@@ -3,8 +3,18 @@
 Workload mirrors the reference's published benchmark dataset shape (HEK293T:
 95,030 sites / 8,019,824 reads => ~84 reads/site; BASELINE.md): synthetic
 normalized features with a realistic read-count distribution, packed exactly
-as production batches, scored by the full inference step (per-read fused
-encoder + exact noisy-OR site aggregation + mod_ratio).
+as production batches, scored by the full inference step (per-read encoder +
+exact noisy-OR site aggregation + mod_ratio).
+
+MEASUREMENT INTEGRITY: on this container's axon relay,
+``jax.block_until_ready`` acknowledges on *enqueue*, not execution
+(discovered 2026-08-18 — a 32-step chained scan "completed" in 0 ms).  The
+timed region therefore runs the step inside a ``lax.scan`` whose iterations
+are data-dependent (serialized on device) and fetches the tiny (n,) output
+to the host, which provably waits for execution.  Calibration on the same
+device: a dense 8192^3 matmul chain sustains ~14 TFLOP/s (f32 == bf16
+throughput), so this relay's chip is far below physical v5e peak — treat
+the absolute numbers as a lower bound for real hardware.
 
 Baseline: reference v2.0.0 inference on AMD EPYC 7R32 with 25 processes,
 1000 MC iterations => 95,030 sites / 408.17 s = 232.8 sites/s (BASELINE.md).
@@ -13,6 +23,7 @@ Prints ONE JSON line:
   {"metric": "inference_sites_per_sec", "value": N, "unit": "sites/s",
    "vs_baseline": N / 232.8}
 """
+import functools
 import json
 import time
 
@@ -21,29 +32,26 @@ import numpy as np
 BASELINE_SITES_PER_SEC = 95030 / 408.17
 
 
-def build_batches(n_batches=8, read_capacity=524288, site_capacity=8192, seed=0):
+def build_batch(read_capacity=4194304, site_capacity=65536, seed=0):
     rng = np.random.default_rng(seed)
-    batches = []
-    for _ in range(n_batches):
-        features = rng.normal(size=(read_capacity, 9)).astype(np.float32)
-        kmer_ids = rng.integers(0, 66, size=(read_capacity, 3)).astype(np.int32)
-        site_ids = np.full(read_capacity, site_capacity, np.int32)
-        offsets = np.zeros(site_capacity, np.int32)
-        counts = np.zeros(site_capacity, np.int32)
-        cursor = 0
-        n_sites = 0
-        while n_sites < site_capacity:
-            # read-count distribution ~ demo/HEK293T shape: 20..1000, mean ~60
-            n = int(min(max(rng.gamma(2.0, 30.0), 20), 1000))
-            if cursor + n > read_capacity:
-                break
-            site_ids[cursor : cursor + n] = n_sites
-            offsets[n_sites] = cursor
-            counts[n_sites] = n
-            cursor += n
-            n_sites += 1
-        batches.append((features, kmer_ids, site_ids, offsets, counts, n_sites))
-    return batches
+    features = rng.normal(size=(read_capacity, 9)).astype(np.float32)
+    kmer_ids = rng.integers(0, 66, size=(read_capacity, 3)).astype(np.int32)
+    site_ids = np.full(read_capacity, site_capacity, np.int32)
+    offsets = np.zeros(site_capacity, np.int32)
+    counts = np.zeros(site_capacity, np.int32)
+    cursor = 0
+    n_sites = 0
+    while n_sites < site_capacity:
+        # read-count distribution ~ demo/HEK293T shape: 20..1000, mean ~80
+        n = int(min(max(rng.gamma(2.0, 30.0), 20), 1000))
+        if cursor + n > read_capacity:
+            break
+        site_ids[cursor : cursor + n] = n_sites
+        offsets[n_sites] = cursor
+        counts[n_sites] = n
+        cursor += n
+        n_sites += 1
+    return features, kmer_ids, site_ids, offsets, counts, n_sites
 
 
 def main():
@@ -59,58 +67,53 @@ def main():
     from m6anet_tpu.inference.engine import make_infer_step
     from m6anet_tpu.models import load_model
 
-    # Large batches amortize per-dispatch overhead through the platform
-    # relay: measured on v5e 2.3M sites/s at (1024, 64k) vs 20.7M at
-    # (8192, 512k).  HBM cost: ~20 MB inputs per batch.  On the CPU backend
-    # (no TPU attached) fall back to a small shape so the bench stays quick.
+    # Big batches keep the device busy per dispatch (~160 MB inputs); on the
+    # CPU backend (no TPU attached) use a small shape so the bench stays
+    # quick.  Backend: xla measures fastest under execution-verified timing
+    # (69.5M reads/s vs 43.4M for the pallas kernel at this shape).
     if jax.default_backend() == "cpu":
-        site_capacity = 1024
-        read_capacity = 65536
+        site_capacity, read_capacity, n_chain = 1024, 65536, 2
     else:
-        site_capacity = 8192
-        read_capacity = 524288
+        site_capacity, read_capacity, n_chain = 65536, 4194304, 8
 
     with open(DEFAULT_MODEL_CONFIG, "rb") as f:
         config = tomllib.load(f)
     model, params = load_model(config, DEFAULT_MODEL_WEIGHTS)
 
-    host_batches = build_batches(
-        n_batches=4, read_capacity=read_capacity, site_capacity=site_capacity
+    f32 = jnp.float32
+    feats, kmers, site_ids, offsets, counts, n_sites = build_batch(
+        read_capacity=read_capacity, site_capacity=site_capacity
     )
-    dev_batches = [
-        tuple(jnp.asarray(a) for a in (f, k, s, o, c)) for f, k, s, o, c, _ in host_batches
-    ]
+    dev = tuple(jnp.asarray(a) for a in (feats, kmers, site_ids, offsets, counts))
     global_ids = jnp.arange(site_capacity, dtype=jnp.int32)
     base_key = jnp.zeros((2,), jnp.uint32)
 
-    # Backend order by measured TPU v5e throughput (2026-08-17, tuned block
-    # sizes): pallas encoder kernel 3.86M sites/s > pallas_fused single
-    # kernel 3.56M > XLA 2.78M.  Later entries are fallbacks.
-    step = None
-    for backend in ("pallas", "pallas_fused", "xla"):
-        try:
-            step = make_infer_step(
-                model, site_capacity, DEFAULT_READ_THRESHOLD, backend=backend
-            )
-            out = step(params, *dev_batches[0], global_ids, base_key)  # compile/warmup
-            jax.block_until_ready(out)
-            break
-        except Exception:
-            step = None
-    assert step is not None, "no inference backend compiled"
+    step = make_infer_step(model, site_capacity, DEFAULT_READ_THRESHOLD, backend="xla")
 
-    n_rounds = 6
-    total_sites = 0
-    start = time.perf_counter()
-    outs = []
-    for _ in range(n_rounds):
-        for batch, host in zip(dev_batches, host_batches):
-            outs.append(step(params, *batch, global_ids, base_key))
-            total_sites += host[5]
-    jax.block_until_ready(outs)
-    elapsed = time.perf_counter() - start
+    @functools.partial(jax.jit, static_argnums=(8,))
+    def chained(params, feats, kmers, site_ids, offsets, counts, gids, key, n):
+        """n serialized full inference steps: iteration i+1's input depends on
+        iteration i's output, so enqueue-acknowledging runtimes cannot report
+        completion before the work is actually done."""
 
-    sites_per_sec = total_sites / elapsed
+        def body(carry, _):
+            p, sp, mr = step(params, feats + carry, kmers, site_ids, offsets, counts, gids, key)
+            return sp[0] * f32(1e-9), f32(sp[0])
+
+        _, outs = jax.lax.scan(body, f32(0.0), None, length=n)
+        return outs
+
+    warm = chained(params, *dev, global_ids, base_key, n_chain)
+    np.asarray(warm)  # device->host fetch: waits for real execution
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = chained(params, *dev, global_ids, base_key, n_chain)
+        np.asarray(out)  # (n_chain,) floats — tiny, but forces completion
+        best = min(best, time.perf_counter() - t0)
+
+    sites_per_sec = n_chain * n_sites / best
     print(
         json.dumps(
             {
