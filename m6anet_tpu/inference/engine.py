@@ -66,6 +66,15 @@ def make_infer_step(
         )
     if backend == "pallas_fused" and method != "exact":
         raise ValueError("backend 'pallas_fused' supports only the exact site method")
+    if backend == "pallas_fused" and site_capacity > 4096:
+        # the kernel's (block, site_capacity) one-hot scatter matrix lives in
+        # VMEM, so its footprint scales with site_capacity (32 MB at 8192
+        # sites x 1024 block — beyond v5e VMEM); use xla/pallas for larger
+        # batches
+        raise ValueError(
+            "backend 'pallas_fused' supports site_capacity <= 4096 "
+            f"(got {site_capacity}); use --backend xla or pallas"
+        )
     if precision not in ("f32", "bf16"):
         raise ValueError(f"precision must be 'f32' or 'bf16', got {precision!r}")
     if precision == "bf16" and backend != "pallas":

@@ -204,3 +204,15 @@ def test_bf16_mode_within_site_tolerance(production_model, tmp_path):
     np.testing.assert_allclose(
         ai["probability_modified"], bi["probability_modified"], atol=2e-2
     )
+
+
+def test_pallas_fused_site_capacity_guard(production_model):
+    """The fused kernel's one-hot scatter lives in VMEM and scales with
+    site_capacity; oversized capacities must fail fast with guidance."""
+    import pytest as _pytest
+
+    from m6anet_tpu.inference.engine import make_infer_step
+
+    model, _ = production_model
+    with _pytest.raises(ValueError, match="site_capacity <= 4096"):
+        make_infer_step(model, 8192, 0.03, backend="pallas_fused")
