@@ -33,6 +33,16 @@ FORMAT_VERSION = 1
 SUBDIR = "columnar"
 
 
+def _cached_site_norm(norm_dict, cache, seq: str, n_positions: int):
+    """(mean, std) f32 vectors for a site sequence, memoized in ``cache``."""
+    cached = cache.get(seq)
+    if cached is None:
+        mean, std = site_norm_vectors(norm_dict, seq, n_positions)
+        cached = (mean.astype(np.float32), std.astype(np.float32))
+        cache[seq] = cached
+    return cached
+
+
 class ColumnarWriter:
     """Streaming writer: append per-site feature blocks, finalize metadata."""
 
@@ -172,18 +182,10 @@ class ColumnarSiteDataset:
         return len(self.site_index)
 
     def _site_norm(self, seq: str):
-        cached = self._norm_cache.get(seq)
-        if cached is None:
-            mean, std = site_norm_vectors(self.norm_dict, seq, self.n_positions)
-            cached = (mean.astype(np.float32), std.astype(np.float32))
-            self._norm_cache[seq] = cached
-        return cached
+        return _cached_site_norm(self.norm_dict, self._norm_cache, seq, self.n_positions)
 
-    def get_site(self, idx: int, handle=None) -> Site:
-        del handle
-        raw = self.site_index[idx]
-        start, end = self.offsets[raw], self.offsets[raw + 1]
-        seq_full = self.site_seq[raw]
+    def _seq_and_kmers(self, seq_full):
+        """(sub-window sequence, kmer id row) for a stored context, memoized."""
         cached = self._seq_cache.get(seq_full)
         if cached is None:
             seq = _subsequence(
@@ -194,7 +196,13 @@ class ColumnarSiteDataset:
             )
             cached = (seq, kmer_ids)
             self._seq_cache[seq_full] = cached
-        seq, kmer_ids = cached
+        return cached
+
+    def get_site(self, idx: int, handle=None) -> Site:
+        del handle
+        raw = self.site_index[idx]
+        start, end = self.offsets[raw], self.offsets[raw + 1]
+        seq, kmer_ids = self._seq_and_kmers(self.site_seq[raw])
         if self._all_columns:
             features = np.array(self.features[start:end], dtype=np.float32)
         else:
@@ -283,18 +291,7 @@ class ColumnarSiteDataset:
             mean_rows = std_rows = None
             boundaries = np.concatenate([[0], np.cumsum(counts)])
             for k, raw in enumerate(raws):
-                seq_full = self.site_seq[raw]
-                cached = self._seq_cache.get(seq_full)
-                if cached is None:
-                    seq = _subsequence(
-                        seq_full.decode(), self.total_neighboring_features, self.num_neighboring_features
-                    )
-                    kmer_ids = np.array(
-                        [KMER_TO_INT[seq[x : x + 5]] for x in range(self.n_positions)], dtype=np.int32
-                    )
-                    cached = (seq, kmer_ids)
-                    self._seq_cache[seq_full] = cached
-                seq, kmer_ids = cached
+                seq, kmer_ids = self._seq_and_kmers(self.site_seq[raw])
                 b0, b1 = boundaries[k], boundaries[k + 1]
                 kmers[b0:b1] = kmer_ids[None, :]
                 site_ids[b0:b1] = k
@@ -405,15 +402,23 @@ class ReplicateColumnarDataset:
         self._norm_cache = {}
 
     def _compute_norm_factors(self) -> NormDict:
-        """Streaming per-kmer mean/std over every replicate's reads
-        (reference: m6anet/utils/data_utils.py:429-495)."""
+        """Streaming per-kmer mean/std over every replicate's reads.
+
+        Accumulates over the FULL stored window (all positions / feature
+        columns of the store), not the ``num_neighboring_features``
+        sub-window the model consumes — matching
+        :meth:`ReplicateSiteDataset._compute_norm_factors` and the reference
+        (reference: m6anet/utils/data_utils.py:429-495, norm_utils.py:43-75).
+        """
         sums, sqs, counts = {}, {}, {}
         for members in self.entries:
             for r, raw in members:
-                site = self.reps[r].get_site(raw)
-                feats = site.features.astype(np.float64)
-                for seg in range(len(site.sequence) - 4):
-                    kmer = site.sequence[seg : seg + 5]
+                rep = self.reps[r]
+                start, end = int(rep.offsets[raw]), int(rep.offsets[raw + 1])
+                seq = rep.site_seq[raw].decode()
+                feats = np.asarray(rep.features[start:end], dtype=np.float64)
+                for seg in range(len(seq) - 4):
+                    kmer = seq[seg : seg + 5]
                     sl = feats[:, 3 * seg : 3 * (seg + 1)]
                     if kmer not in sums:
                         sums[kmer], sqs[kmer], counts[kmer] = np.zeros(3), np.zeros(3), 0
@@ -437,12 +442,7 @@ class ReplicateColumnarDataset:
             assert s.sequence == seq0, "replicates disagree on sequence context"
         features = np.concatenate([s.features for _, s in members])
         if self.norm_dict:
-            cached = self._norm_cache.get(seq0)
-            if cached is None:
-                mean, std = site_norm_vectors(self.norm_dict, seq0, self.n_positions)
-                cached = (mean.astype(np.float32), std.astype(np.float32))
-                self._norm_cache[seq0] = cached
-            mean, std = cached
+            mean, std = _cached_site_norm(self.norm_dict, self._norm_cache, seq0, self.n_positions)
             features = (features - mean) / std
         read_ids = np.concatenate(
             [

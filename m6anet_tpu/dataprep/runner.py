@@ -52,7 +52,11 @@ def featurize_transcript(
     missing toolchain).
     """
     path = eventalign_path
-    if isinstance(read_slices, tuple) and len(read_slices) == 3:
+    if (
+        isinstance(read_slices, tuple)
+        and len(read_slices) == 3
+        and all(isinstance(a, np.ndarray) for a in read_slices)
+    ):
         slice_reads, slice_starts, slice_ends = read_slices
     else:
         slice_reads = np.array([r for r, _, _ in read_slices], dtype=np.int64)

@@ -145,16 +145,12 @@ def _write_batch(batch: SiteBatch, p, site_p, mod_ratio, f_site, f_indiv):
     mod_ratio = np.asarray(mod_ratio)
 
     site_rows = []
-    prefix_parts = []
-    prefix_off = [0]
     all_int_ids = True
     for i, site in enumerate(batch.sites):
         site_rows.append(
             "%s,%d,%s,%.16f,%s,%.16f\n"
             % (site.tx_id, site.tx_pos, batch.counts[i], site_p[i], site.center_kmer, mod_ratio[i])
         )
-        prefix_parts.append(f"{site.tx_id},{site.tx_pos},".encode())
-        prefix_off.append(prefix_off[-1] + len(prefix_parts[-1]))
         all_int_ids = all_int_ids and site.read_ids.dtype == np.int64
     f_site.write("".join(site_rows))
 
@@ -162,12 +158,15 @@ def _write_batch(batch: SiteBatch, p, site_p, mod_ratio, f_site, f_indiv):
     counts = batch.counts[:n_sites]
     block = None
     if all_int_ids and n_sites:
+        prefix_parts = [f"{s.tx_id},{s.tx_pos},".encode() for s in batch.sites]
+        prefix_off = np.zeros(n_sites + 1, np.int64)
+        np.cumsum([len(q) for q in prefix_parts], out=prefix_off[1:])
         # pack_sites lays reads out densely (site i at [offsets[i],
         # offsets[i]+counts[i]), no gaps), so the flat probability prefix
         # lines up with the concatenated read ids directly
         read_ids = np.concatenate([s.read_ids for s in batch.sites])
         block = native_render_indiv_csv_batch(
-            b"".join(prefix_parts), np.asarray(prefix_off), counts,
+            b"".join(prefix_parts), prefix_off, counts,
             read_ids, p[: len(read_ids)],
         )
     if block is None:  # string read ids (replicates) or no native lib

@@ -235,7 +235,11 @@ def native_process_transcript(
         )
         lib._process_configured = True
 
-    if isinstance(read_slices, tuple) and len(read_slices) == 3:
+    if (
+        isinstance(read_slices, tuple)
+        and len(read_slices) == 3
+        and all(isinstance(a, np.ndarray) for a in read_slices)
+    ):
         read_idx, starts, ends = (
             np.ascontiguousarray(a, dtype=np.int64) for a in read_slices
         )
@@ -450,11 +454,10 @@ def native_load_index(index_path: str):
         lib._load_index_configured = True
 
     fsize = os.path.getsize(index_path)
-    # exact row count (newline scan) keeps the output arrays tight — the
-    # caller consumes them directly, no trailing copies or page-fault waste
-    mm = np.memmap(index_path, np.uint8, mode="r")
-    cap_rows = int(np.count_nonzero(mm == 10))  # includes the header line
-    del mm
+    # size by upper bound (min well-formed row is 8 bytes) instead of a
+    # counting pre-pass; exact-size copies are taken below so the big
+    # buffers are released immediately
+    cap_rows = fsize // 8 + 2
     codes = np.empty(cap_rows, np.int32)
     read_idx = np.empty(cap_rows, np.int64)
     pos_start = np.empty(cap_rows, np.int64)
@@ -471,10 +474,10 @@ def native_load_index(index_path: str):
     rows = int(rows)
     names = name_buf[: int(meta[1])].tobytes().decode().split("\n")[: int(meta[0])]
     return (
-        codes[:rows],
-        read_idx[:rows],
-        pos_start[:rows],
-        pos_end[:rows],
+        codes[:rows].copy(),
+        read_idx[:rows].copy(),
+        pos_start[:rows].copy(),
+        pos_end[:rows].copy(),
         names,
     )
 
@@ -533,6 +536,11 @@ def native_process_transcripts(
     json_cap = (cap_windows * 26 * (nfeat + 1) + cap_sites * (seq_len + 64)) if emit_json else 1
 
     sc = getattr(_scratch, "batch_bufs", None)
+    # release oversized scratch: buffers grow to the largest chunk seen, and
+    # json_buf alone is ~100 MB per worker thread at the 8 MB chunk size —
+    # rebuild when the current need is a small fraction of what is held
+    if sc is not None and sc["json_cap"] > (256 << 20) and json_cap < sc["json_cap"] // 4:
+        sc = None
     if sc is None or sc["cap_windows"] < cap_windows or sc["seq_len"] != seq_len or sc["json_cap"] < json_cap or sc["cap_sites"] < cap_sites:
         grow_w = max(cap_windows, 0 if sc is None else sc["cap_windows"])
         grow_s = max(cap_sites, 0 if sc is None else sc["cap_sites"])

@@ -830,8 +830,10 @@ long long ea_load_index(const char* path, int32_t* codes, int64_t* read_idx,
   int32_t last_code = -1;
   while (p < end) {
     nl = static_cast<const char*>(memchr(p, '\n', static_cast<size_t>(end - p)));
+    const char* next = (nl ? nl : end) + 1;
     const char* line_end = nl ? nl : end;
-    if (line_end == p) { p = line_end + 1; continue; }
+    if (line_end > p && line_end[-1] == '\r') --line_end;  // CRLF tolerance
+    if (line_end == p) { p = next; continue; }
     if (rows >= cap_rows) return -2;
     const char* c1 = static_cast<const char*>(memchr(p, ',', static_cast<size_t>(line_end - p)));
     if (c1 == nullptr) return -1;
@@ -858,18 +860,31 @@ long long ea_load_index(const char* path, int32_t* codes, int64_t* read_idx,
       last_code = code;
     }
     codes[rows] = code;
+    // strict digit parsing: any non-digit (other than the ',' delimiter)
+    // aborts instead of silently corrupting byte offsets
     const char* q = c1 + 1;
     long long v = 0;
-    for (; q < line_end && *q != ','; ++q) v = v * 10 + (*q - '0');
+    for (; q < line_end && *q != ','; ++q) {
+      if (*q < '0' || *q > '9') return -1;
+      v = v * 10 + (*q - '0');
+    }
+    if (q >= line_end) return -1;
     read_idx[rows] = v;
     v = 0;
-    for (++q; q < line_end && *q != ','; ++q) v = v * 10 + (*q - '0');
+    for (++q; q < line_end && *q != ','; ++q) {
+      if (*q < '0' || *q > '9') return -1;
+      v = v * 10 + (*q - '0');
+    }
+    if (q >= line_end) return -1;
     pos_start[rows] = v;
     v = 0;
-    for (++q; q < line_end; ++q) v = v * 10 + (*q - '0');
+    for (++q; q < line_end; ++q) {
+      if (*q < '0' || *q > '9') return -1;
+      v = v * 10 + (*q - '0');
+    }
     pos_end[rows] = v;
     ++rows;
-    p = line_end + 1;
+    p = next;
   }
   out_n_uniq[0] = n_uniq;
   out_n_uniq[1] = static_cast<int64_t>(np - name_buf);

@@ -263,3 +263,33 @@ def test_concat_shards_columnar(columnar_dir, production_model, tmp_path):
     a, b = ds1.get_site(3), both.get_site(len(ds1) + 3)
     assert a.tx_id == b.tx_id and a.tx_pos == b.tx_pos
     np.testing.assert_array_equal(a.features, b.features)
+
+
+def test_replicate_columnar_norm_uses_full_window(tmp_path):
+    """Computed norm factors accumulate over the FULL stored window (w=2
+    store read at w=1), matching the data.json replicate path."""
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_dataprep import _write_synthetic_eventalign
+
+    from m6anet_tpu.data.columnar import ReplicateColumnarDataset
+    from m6anet_tpu.data.dataset import ReplicateSiteDataset
+    from m6anet_tpu.dataprep import run_dataprep
+
+    ev = tmp_path / "synthetic.txt"
+    _write_synthetic_eventalign(str(ev))
+    d1 = str(tmp_path / "rep1")
+    run_dataprep(str(ev), d1, n_processes=1, readcount_min=1, readcount_max=1000,
+                 min_segment_count=1, n_neighbors=2, output_format="both")
+    d2 = str(tmp_path / "rep2")
+    shutil.copytree(d1, d2)
+
+    col = ReplicateColumnarDataset([d1, d2], min_reads=1, num_neighboring_features=1)
+    js = ReplicateSiteDataset([d1, d2], min_reads=1, num_neighboring_features=1)
+    assert set(col.norm_dict) == set(js.norm_dict)
+    # the store holds f32 features, the json path accumulates f64 text values
+    for kmer in col.norm_dict:
+        np.testing.assert_allclose(col.norm_dict[kmer][0], js.norm_dict[kmer][0], rtol=1e-5)
+        np.testing.assert_allclose(col.norm_dict[kmer][1], js.norm_dict[kmer][1], rtol=1e-4, atol=1e-7)

@@ -439,3 +439,24 @@ def test_dataprep_header_only_input(tmp_path):
     info = pd.read_csv(out / "data.info")
     assert len(info) == 0
     assert os.path.getsize(out / "data.json") == 0
+
+
+def test_native_index_loader_crlf_and_malformed(tmp_path):
+    """The native index loader strips CRLF (parity with pandas universal
+    newlines) and rejects non-digit bytes instead of corrupting offsets."""
+    from m6anet_tpu.native import native_load_index
+
+    src = "/root/reference/m6anet/tests/data/eventalign.index"
+    crlf = tmp_path / "crlf.index"
+    crlf.write_bytes(open(src, "rb").read().replace(b"\n", b"\r\n"))
+    a = native_load_index(str(crlf))
+    b = native_load_index(src)
+    if a is None and b is None:
+        pytest.skip("native library unavailable")
+    assert a[4] == b[4]
+    for x, y in zip(a[:4], b[:4]):
+        np.testing.assert_array_equal(x, y)
+
+    bad = tmp_path / "bad.index"
+    bad.write_text("transcript_id,read_index,pos_start,pos_end\ntx,1,2x,3\n")
+    assert native_load_index(str(bad)) is None
