@@ -27,7 +27,7 @@ import numpy as np
 
 from ..constants import DEFAULT_MIN_READS, KMER_TO_INT
 from .dataset import Site, _feature_indices, _subsequence
-from .norm import NormDict, load_norm_factors, site_norm_vectors
+from .norm import NormDict, finalize_norm_dict, load_norm_factors, site_norm_vectors
 
 FORMAT_VERSION = 1
 SUBDIR = "columnar"
@@ -425,12 +425,7 @@ class ReplicateColumnarDataset:
                     sums[kmer] += sl.sum(axis=0)
                     sqs[kmer] += np.square(sl).sum(axis=0)
                     counts[kmer] += len(sl)
-        out: NormDict = {}
-        for kmer in sums:
-            mean = sums[kmer] / counts[kmer]
-            var = np.maximum(sqs[kmer] / counts[kmer] - mean**2, 0.0)
-            out[kmer] = (mean, np.sqrt(var))
-        return out
+        return finalize_norm_dict(sums, sqs, counts)
 
     def __len__(self) -> int:
         return len(self.entries)

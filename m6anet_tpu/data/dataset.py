@@ -23,7 +23,14 @@ import numpy as np
 import pandas as pd
 
 from ..constants import DEFAULT_MIN_READS, KMER_TO_INT
-from .norm import NormDict, annotate_kmer_information, compute_norm_dict, load_norm_factors, site_norm_vectors
+from .norm import (
+    NormDict,
+    annotate_kmer_information,
+    compute_norm_dict,
+    finalize_norm_dict,
+    load_norm_factors,
+    site_norm_vectors,
+)
 
 ALLOWED_MODES = ("Train", "Test", "Val", "Inference")
 
@@ -235,24 +242,32 @@ class SiteDataset:
         from concurrent.futures import ThreadPoolExecutor
 
         local = threading.local()
+        handles = []
+        handles_lock = threading.Lock()
 
         def load(idx):
             handle = getattr(local, "handle", None)
             if handle is None:
                 handle = local.handle = open(self.data_fpath, "rb")
+                with handles_lock:
+                    handles.append(handle)
             return self.get_site(idx, handle=handle)
 
-        with ThreadPoolExecutor(max_workers=n_threads) as pool:
-            window = n_threads * 4
-            futures = {}
-            for idx in range(min(window, len(self))):
-                futures[idx] = pool.submit(load, idx)
-            for idx in range(len(self)):
-                site = futures.pop(idx).result()
-                nxt = idx + window
-                if nxt < len(self):
-                    futures[nxt] = pool.submit(load, nxt)
-                yield site
+        try:
+            with ThreadPoolExecutor(max_workers=n_threads) as pool:
+                window = n_threads * 4
+                futures = {}
+                for idx in range(min(window, len(self))):
+                    futures[idx] = pool.submit(load, idx)
+                for idx in range(len(self)):
+                    site = futures.pop(idx).result()
+                    nxt = idx + window
+                    if nxt < len(self):
+                        futures[nxt] = pool.submit(load, nxt)
+                    yield site
+        finally:
+            for h in handles:
+                h.close()
 
     # ------------------------------------------------------- training access
     def sample_reads(self, site: Site) -> Tuple[np.ndarray, np.ndarray]:
@@ -356,12 +371,7 @@ class ReplicateSiteDataset(SiteDataset):
                     sums[kmer] += sl.sum(axis=0)
                     sqs[kmer] += np.square(sl).sum(axis=0)
                     counts[kmer] += len(sl)
-        out: NormDict = {}
-        for kmer in sums:
-            mean = sums[kmer] / counts[kmer]
-            var = np.maximum(sqs[kmer] / counts[kmer] - mean**2, 0.0)
-            out[kmer] = (mean, np.sqrt(var))
-        return out
+        return finalize_norm_dict(sums, sqs, counts)
 
     def get_site(self, idx: int, handle=None) -> Site:
         del handle
@@ -421,6 +431,13 @@ class ConcatSiteDataset:
 
             self.parts = [ColumnarSiteDataset(d, **kwargs) for d in root_dirs]
         else:
+            if kwargs.get("norm_path") is None:
+                # each SiteDataset would auto-compute factors over only its
+                # own shard, normalizing one logical dataset inconsistently
+                raise ValueError(
+                    "concatenated shards form ONE dataset and need an explicit "
+                    "norm_path; per-shard auto-computed factors would differ"
+                )
             self.parts = [SiteDataset(d, **kwargs) for d in root_dirs]
         self._offsets = np.cumsum([0] + [len(p) for p in self.parts])
 

@@ -40,21 +40,43 @@ def save_norm_factors(norm: NormDict, path: str) -> None:
         joblib.dump(norm, path)
         return
     kmers = sorted(norm)
-    np.savez(
-        path,
-        kmers=np.array(kmers),
-        mean=np.stack([np.asarray(norm[k][0], np.float64) for k in kmers]),
-        std=np.stack([np.asarray(norm[k][1], np.float64) for k in kmers]),
-    )
+    # write through a handle: np.savez(path) silently appends ".npz" when
+    # the extension differs, breaking a save/load round-trip
+    with open(path, "wb") as f:
+        np.savez(
+            f,
+            kmers=np.array(kmers),
+            mean=np.stack([np.asarray(norm[k][0], np.float64) for k in kmers]),
+            std=np.stack([np.asarray(norm[k][1], np.float64) for k in kmers]),
+        )
 
 
 def site_norm_vectors(norm: NormDict, sequence: str, n_positions: int) -> Tuple[np.ndarray, np.ndarray]:
     """(mean, std) 3*n_positions-vectors for a site's sequence context
-    (reference: m6anet/utils/data_utils.py:233-248)."""
+    (reference: m6anet/utils/data_utils.py:233-248).
+
+    A zero std (a kmer whose training coverage had constant signal, e.g. a
+    single read) would z-score to NaN/inf; substitute 1.0 so the centered
+    feature becomes 0 instead.  (The reference divides unguarded and emits
+    NaN/inf rows silently — deliberate behavioural fix.)"""
     kmers = [sequence[i : i + 5] for i in range(n_positions)]
     mean = np.concatenate([norm[k][0] for k in kmers])
     std = np.concatenate([norm[k][1] for k in kmers])
-    return mean, std
+    return mean, np.where(std == 0.0, 1.0, std)
+
+
+def finalize_norm_dict(sums, sqs, counts) -> NormDict:
+    """Convert streaming per-kmer (sum, sum-of-squares, count) accumulators
+    into the (mean, std) dict.  Shared by every norm-computation path.
+
+    Clamp: E[X^2]-E[X]^2 can cancel to a tiny negative for near-constant
+    segments, which would otherwise propagate NaNs downstream."""
+    norm: NormDict = {}
+    for kmer in sums:
+        mean = sums[kmer] / counts[kmer]
+        var = np.maximum(sqs[kmer] / counts[kmer] - mean**2, 0.0)
+        norm[kmer] = (mean, np.sqrt(var))
+    return norm
 
 
 # ---------------------------------------------------------------------------
@@ -134,11 +156,4 @@ def compute_norm_dict(json_path: str, data_info, n_processes: int = 1) -> NormDi
                 sums[kmer] += sl.sum(axis=0)
                 sqs[kmer] += np.square(sl).sum(axis=0)
                 counts[kmer] += len(sl)
-    norm: NormDict = {}
-    for kmer in sums:
-        mean = sums[kmer] / counts[kmer]
-        # clamp: E[X^2]-E[X]^2 can cancel to a tiny negative for
-        # near-constant segments, which would propagate NaNs downstream
-        var = np.maximum(sqs[kmer] / counts[kmer] - mean**2, 0.0)
-        norm[kmer] = (mean, np.sqrt(var))
-    return norm
+    return finalize_norm_dict(sums, sqs, counts)

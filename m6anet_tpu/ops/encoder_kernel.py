@@ -41,11 +41,11 @@ class FusedEncoderParams(NamedTuple):
     b1: jnp.ndarray  # (1, 150)
     w2: jnp.ndarray  # (150, 32)
     b2: jnp.ndarray  # (1, 32)
-    w3: jnp.ndarray  # (32, 1) -> padded to (32, 128) lane for the kernel
+    w3: jnp.ndarray  # (32, 1) probability head
     b3: jnp.ndarray  # (1, 1)
 
 
-def prepare_fused_params(params: Dict, n_features: int = 9, vocab: int = 66) -> FusedEncoderParams:
+def prepare_fused_params(params: Dict, n_features: int = 9) -> FusedEncoderParams:
     """Fold BN + embedding into MXU-ready tables (production param layout)."""
     w1 = jnp.asarray(params["block3"]["w"], jnp.float32)  # (15, 150)
     b1 = jnp.asarray(params["block3"]["b"], jnp.float32)
@@ -73,11 +73,37 @@ def prepare_fused_params(params: Dict, n_features: int = 9, vocab: int = 66) -> 
     )
 
 
-def _make_encoder_kernel(compute_dtype):
-    """Kernel factory: f32 runs every matmul at HIGHEST precision for parity
-    with the released CPU-f32 models; bf16 casts activations/tables to
-    bfloat16 with f32 accumulation — one MXU pass per matmul instead of ~6,
-    at ~1e-3 probability error (still far inside the site-level tolerance)."""
+def encoder_body(dot, x_ref, k_ref, w1x_ref, t_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref):
+    """Shared kernel-body math: embedding one-hot + folded encoder + sigmoid.
+
+    Used by both the encoder-only kernel below and the single-kernel
+    inference step (fused_infer_kernel.py); ``dot`` injects the precision
+    policy.  Returns the per-read probability block, shape (block, 1)."""
+    vocab_total = t_ref.shape[0]  # (2w+1) * 66
+    n_positions = k_ref.shape[1]
+    vocab = vocab_total // n_positions
+    block = x_ref.shape[0]
+
+    # one-hot over the stacked vocabulary: position j's id k -> column j*66+k
+    offs = jax.lax.broadcasted_iota(jnp.int32, (1, n_positions), 1) * vocab
+    flat_ids = k_ref[:] + offs  # (block, n_positions)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block, vocab_total), 1)
+    onehot = jnp.zeros((block, vocab_total), jnp.float32)
+    for j in range(n_positions):
+        onehot += (cols == flat_ids[:, j][:, None]).astype(jnp.float32)
+
+    h = dot(x_ref[:], w1x_ref[:]) + dot(onehot, t_ref[:]) + b1_ref[:]
+    h = jnp.maximum(h, 0.0)
+    h = jnp.maximum(dot(h, w2_ref[:]) + b2_ref[:], 0.0)
+    z = dot(h, w3_ref[:]) + b3_ref[:]
+    return jax.nn.sigmoid(z)
+
+
+def make_parity_dot(compute_dtype):
+    """Precision policy: f32 runs every matmul at HIGHEST precision for
+    parity with the released CPU-f32 models; bf16 casts activations/tables
+    to bfloat16 with f32 accumulation — one MXU pass per matmul instead of
+    ~6, at ~1e-3 probability error (still far inside the site tolerance)."""
     parity = compute_dtype == jnp.float32
     precision = jax.lax.Precision.HIGHEST if parity else jax.lax.Precision.DEFAULT
 
@@ -87,25 +113,14 @@ def _make_encoder_kernel(compute_dtype):
             b = b.astype(jnp.bfloat16)
         return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=precision)
 
+    return dot
+
+
+def _make_encoder_kernel(compute_dtype):
+    dot = make_parity_dot(compute_dtype)
+
     def kernel(x_ref, k_ref, w1x_ref, t_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref):
-        vocab_total = t_ref.shape[0]  # (2w+1) * 66
-        n_positions = k_ref.shape[1]
-        vocab = vocab_total // n_positions
-        block = x_ref.shape[0]
-
-        # one-hot over the stacked vocabulary: position j's id k -> column j*66+k
-        offs = jax.lax.broadcasted_iota(jnp.int32, (1, n_positions), 1) * vocab
-        flat_ids = k_ref[:] + offs  # (block, n_positions)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (block, vocab_total), 1)
-        onehot = jnp.zeros((block, vocab_total), jnp.float32)
-        for j in range(n_positions):
-            onehot += (cols == flat_ids[:, j][:, None]).astype(jnp.float32)
-
-        h = dot(x_ref[:], w1x_ref[:]) + dot(onehot, t_ref[:]) + b1_ref[:]
-        h = jnp.maximum(h, 0.0)
-        h = jnp.maximum(dot(h, w2_ref[:]) + b2_ref[:], 0.0)
-        z = dot(h, w3_ref[:]) + b3_ref[:]
-        out_ref[:] = jax.nn.sigmoid(z)
+        out_ref[:] = encoder_body(dot, x_ref, k_ref, w1x_ref, t_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref)
 
     return kernel
 

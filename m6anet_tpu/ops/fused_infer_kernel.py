@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .encoder_kernel import FusedEncoderParams
+from .encoder_kernel import FusedEncoderParams, encoder_body, make_parity_dot
 
 # smaller than the encoder-only kernel: the (block, site_capacity) one-hot
 # site matrix dominates VMEM (512*1024*4B = 2 MB fits; 2048 blocks OOM)
@@ -50,39 +50,17 @@ def _fused_infer_kernel(
         sums_scr[:] = jnp.zeros_like(sums_scr)
         hits_scr[:] = jnp.zeros_like(hits_scr)
 
-    # ---- encoder (same math as encoder_kernel._encoder_kernel) ----
-    vocab_total = t_ref.shape[0]
-    n_positions = k_ref.shape[1]
-    vocab = vocab_total // n_positions
-    offs = jax.lax.broadcasted_iota(jnp.int32, (1, n_positions), 1) * vocab
-    flat_ids = k_ref[:] + offs
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block, vocab_total), 1)
-    onehot_k = jnp.zeros((block, vocab_total), jnp.float32)
-    for j in range(n_positions):
-        onehot_k += (cols == flat_ids[:, j][:, None]).astype(jnp.float32)
-
-    h = (
-        jnp.dot(x_ref[:], w1x_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-        + jnp.dot(onehot_k, t_ref[:], preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
-        + b1_ref[:]
-    )
-    h = jnp.maximum(h, 0.0)
-    h = jnp.maximum(
-        jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) + b2_ref[:], 0.0
-    )
-    z = jnp.dot(h, w3_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) + b3_ref[:]
-    p = jax.nn.sigmoid(z)  # (block, 1)
+    # ---- encoder: shared body with the encoder-only kernel ----
+    p = encoder_body(
+        make_parity_dot(jnp.float32),
+        x_ref, k_ref, w1x_ref, t_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    )  # (block, 1)
     p_out[:] = p
 
     # ---- site accumulation: one-hot scatter on the MXU ----
     sid = sid_ref[:].reshape(block, 1)  # padding == site_capacity
     site_cols = jax.lax.broadcasted_iota(jnp.int32, (block, site_capacity), 1)
     onehot_s = (site_cols == sid).astype(jnp.float32)  # (block, S)
-    pv = p.reshape(1, block)
     one_minus = (1.0 - p).reshape(1, block)
     # padding rows have all-zero one-hot -> no masking needed
     sums_scr[:] += jnp.dot(one_minus, onehot_s, preferred_element_type=jnp.float32,
@@ -117,11 +95,11 @@ def fused_inference(
     import functools
 
     n = features.shape[0]
-    site_cap = counts.shape[0]
+    site_capacity = counts.shape[0]
     # VMEM heuristic: the (block, site_capacity) one-hot site matrix is the
     # dominant transient; keep it near 2 MB (block 2048 @ S=1024 OOMs Mosaic's
     # 16 MB scoped limit once pipeline double-buffering is added).
-    while block_reads > 256 and block_reads * site_cap * 4 > (2 << 20):
+    while block_reads > 256 and block_reads * site_capacity * 4 > (2 << 20):
         block_reads //= 2
     block_reads = min(block_reads, n)
     while n % block_reads != 0 and block_reads > 1:
@@ -129,7 +107,6 @@ def fused_inference(
     grid = (n // block_reads,)
     n_feat = features.shape[1]
     n_pos = kmer_ids.shape[1]
-    site_capacity = counts.shape[0]
     thr = jnp.full((1, 1), threshold, jnp.float32)
     sid2d = site_ids.reshape(n, 1)
 

@@ -157,7 +157,7 @@ def train(
     seed: int = 0,
     opt_state=None,
     mesh=None,
-) -> Tuple[Dict, Dict]:
+) -> Tuple[Dict, Dict, Dict]:
     """Full training run (reference: m6anet/utils/training_utils.py:61-145).
 
     Pass ``opt_state`` (with ``epoch_increment``) to resume a run restored by

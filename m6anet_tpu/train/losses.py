@@ -34,6 +34,11 @@ def weighted_binary_cross_entropy_loss(y_pred, y_true):
     n_pos = jnp.sum(y_true_f)
     n_neg = y_true_f.size - n_pos
     weights = jnp.where(y_true_f == 0, n_pos, n_neg)
+    # single-class batch: the inverse-frequency weights are all zero (the
+    # reference crashes on its 2-tuple unpack here); fall back to plain BCE
+    # so the batch still contributes gradients
+    degenerate = jnp.logical_or(n_pos == 0, n_neg == 0)
+    weights = jnp.where(degenerate, jnp.ones_like(weights), weights)
     return jnp.mean(_bce_elementwise(y_pred, y_true) * weights)
 
 

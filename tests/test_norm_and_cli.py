@@ -190,3 +190,31 @@ def test_replicate_computed_norm_matches_single(tmp_path):
     for k in list(single.norm_dict)[:5]:
         np.testing.assert_allclose(double.norm_dict[k][0], single.norm_dict[k][0], rtol=1e-9)
         np.testing.assert_allclose(double.norm_dict[k][1], single.norm_dict[k][1], rtol=1e-6)
+
+
+def test_zero_std_norm_guard():
+    """A kmer with constant signal (std 0) must not z-score to NaN/inf
+    (the reference divides unguarded; deliberate behavioural fix)."""
+    from m6anet_tpu.data.norm import site_norm_vectors
+
+    norm = {"AAAAA": (np.zeros(3), np.zeros(3)), "AAAAC": (np.ones(3), np.ones(3)),
+            "AAACA": (np.ones(3), np.ones(3))}
+    mean, std = site_norm_vectors(norm, "AAAAACA", 3)
+    assert (std > 0).all()
+    x = np.zeros(9, np.float64)
+    assert np.isfinite((x - mean) / std).all()
+
+
+def test_weighted_bce_single_class_batch():
+    """All-negative (or all-positive) batches fall back to plain BCE instead
+    of zero loss / zero gradients (the reference crashes here)."""
+    import jax.numpy as jnp
+
+    from m6anet_tpu.train.losses import weighted_binary_cross_entropy_loss
+
+    pred = jnp.asarray([0.2, 0.8, 0.5])
+    loss0 = weighted_binary_cross_entropy_loss(pred, jnp.zeros(3))
+    loss1 = weighted_binary_cross_entropy_loss(pred, jnp.ones(3))
+    assert float(loss0) > 0 and float(loss1) > 0
+    mixed = weighted_binary_cross_entropy_loss(pred, jnp.asarray([0.0, 1.0, 0.0]))
+    assert float(mixed) > 0
