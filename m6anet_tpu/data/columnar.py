@@ -106,6 +106,7 @@ class ColumnarSiteDataset:
         norm_path: Optional[str] = None,
         num_neighboring_features: int = 1,
         mode: str = "Inference",
+        compute_norm: bool = True,
     ):
         self.root_dir = root_dir
         d = os.path.join(root_dir, SUBDIR)
@@ -146,13 +147,56 @@ class ColumnarSiteDataset:
             keep &= self._load_labels(mode)
         self.site_index = np.flatnonzero(keep)
 
-        self.norm_dict: Optional[NormDict] = load_norm_factors(norm_path) if norm_path else None
         self._norm_cache = {}
         self._seq_cache = {}  # full seq -> (sub seq, kmer_ids) per-site work
         self._all_columns = len(self.indices) == self.meta["n_features"] and bool(
             np.array_equal(self.indices, np.arange(self.meta["n_features"]))
         )
         self.rng = np.random
+
+        if norm_path:
+            self.norm_dict: Optional[NormDict] = load_norm_factors(norm_path)
+        elif compute_norm:
+            # parity with SiteDataset, which auto-computes per-kmer factors
+            # when no norm_path is given — silently training/inferring on raw
+            # signal values would be a broken model
+            self.norm_dict = self._compute_norm_factors()
+        else:
+            self.norm_dict = None  # raw features (replicate merging computes its own)
+
+        if mode != "Inference":
+            # sampler metadata, aligned with dataset indices: labels and the
+            # center motif per kept site (same surface SiteDataset exposes)
+            import pandas as pd
+
+            self.labels = self.labels_full[self.site_index]
+            centers = []
+            for raw in self.site_index:
+                seq, _ = self._seq_and_kmers(self.site_seq[raw])
+                centers.append(seq[(self.n_positions - 1) // 2 :][:5])
+            self.data_info = pd.DataFrame({"kmer": centers})
+
+    def _compute_norm_factors(self) -> NormDict:
+        """Per-kmer factors from this dataset's own (mode-filtered) sites,
+        accumulated over the FULL stored window — the same contract as
+        SiteDataset._compute_norm_factors / the reference
+        (reference: m6anet/utils/norm_utils.py:43-75)."""
+        if len(self.site_index) == 0:
+            return {}
+        sums, sqs, counts = {}, {}, {}
+        for raw in self.site_index:
+            start, end = int(self.offsets[raw]), int(self.offsets[raw + 1])
+            seq = self.site_seq[raw].decode()
+            feats = np.asarray(self.features[start:end], dtype=np.float64)
+            for seg in range(len(seq) - 4):
+                kmer = seq[seg : seg + 5]
+                sl = feats[:, 3 * seg : 3 * (seg + 1)]
+                if kmer not in sums:
+                    sums[kmer], sqs[kmer], counts[kmer] = np.zeros(3), np.zeros(3), 0
+                sums[kmer] += sl.sum(axis=0)
+                sqs[kmer] += np.square(sl).sum(axis=0)
+                counts[kmer] += len(sl)
+        return finalize_norm_dict(sums, sqs, counts)
 
     def _load_labels(self, mode: str) -> np.ndarray:
         """Join data.info.labelled onto the columnar site table."""
@@ -367,7 +411,7 @@ class ReplicateColumnarDataset:
         # merged site, matching the reference's summed-count semantics)
         self.reps = [
             ColumnarSiteDataset(
-                d, min_reads=0, norm_path=None,
+                d, min_reads=0, norm_path=None, compute_norm=False,
                 num_neighboring_features=num_neighboring_features,
             )
             for d in root_dirs

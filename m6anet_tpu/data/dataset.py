@@ -426,18 +426,18 @@ class ConcatSiteDataset:
     shard's columnar store instead of data.json."""
 
     def __init__(self, root_dirs: Sequence[str], columnar: bool = False, **kwargs):
+        if kwargs.get("norm_path") is None:
+            # each shard would auto-compute factors over only its own
+            # sites, normalizing one logical dataset inconsistently
+            raise ValueError(
+                "concatenated shards form ONE dataset and need an explicit "
+                "norm_path; per-shard auto-computed factors would differ"
+            )
         if columnar:
             from .columnar import ColumnarSiteDataset
 
             self.parts = [ColumnarSiteDataset(d, **kwargs) for d in root_dirs]
         else:
-            if kwargs.get("norm_path") is None:
-                # each SiteDataset would auto-compute factors over only its
-                # own shard, normalizing one logical dataset inconsistently
-                raise ValueError(
-                    "concatenated shards form ONE dataset and need an explicit "
-                    "norm_path; per-shard auto-computed factors would differ"
-                )
             self.parts = [SiteDataset(d, **kwargs) for d in root_dirs]
         self._offsets = np.cumsum([0] + [len(p) for p in self.parts])
 

@@ -66,13 +66,18 @@ class TrainLoader:
                 if len(chunk) < bs and self.drop_last:
                     break
                 items = list(pool.map(self._load_one, chunk))
+                n_valid = len(items)
                 m = self.pad_to_multiple
                 if len(items) % m:
                     target = -(-len(items) // m) * m
                     reps = -(-target // len(items))
                     items = (items * reps)[:target]
+                # "n_valid" marks wrap-around padding; the training loop pops
+                # it before the jitted step and de-pads host-side so padded
+                # duplicates never enter loss averages or ROC/PR metrics
                 yield {
                     "X": np.stack([it[0] for it in items]).astype(np.float32),
                     "kmer": np.stack([it[1] for it in items]).astype(np.int32),
                     "y": np.array([it[2] for it in items], dtype=np.float32),
+                    "n_valid": n_valid,
                 }

@@ -18,26 +18,45 @@ _SENTINEL = object()
 def threaded_iter(source: Iterable[T], depth: int = 4) -> Iterator[T]:
     """Iterate ``source`` on a daemon thread, buffering up to ``depth`` items.
 
-    Exceptions from the producer are re-raised at the consumer.
+    Exceptions from the producer are re-raised at the consumer.  If the
+    consumer abandons iteration (exception, early ``break``, generator
+    close), the producer is cancelled instead of blocking forever on the
+    full queue holding multi-MB batches.
     """
     q: queue.Queue = queue.Queue(maxsize=depth)
     error = []
+    cancelled = threading.Event()
 
     def produce():
         try:
             for item in source:
-                q.put(item)
+                while not cancelled.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if cancelled.is_set():
+                    return
         except BaseException as exc:  # re-raised on the consumer side
             error.append(exc)
         finally:
-            q.put(_SENTINEL)
+            while not cancelled.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     thread = threading.Thread(target=produce, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if error:
-                raise error[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if error:
+                    raise error[0]
+                return
+            yield item
+    finally:
+        cancelled.set()

@@ -76,7 +76,13 @@ class _BaseKmerSampler(_BaseSampler):
             for motif in self.all_motifs:
                 mask = (self.labels == label) & (self.data_kmers == motif)
                 idx_dict[motif] = np.flatnonzero(mask)
-        self.length = len(self.generate_indices())
+        # arithmetic length — a throwaway generate_indices() draw here would
+        # both waste an epoch-sized sampling pass and advance np.random
+        # before the first real epoch
+        self.length = self._compute_length()
+
+    def _compute_length(self) -> int:
+        raise NotImplementedError
 
     def generate_indices(self):
         raise NotImplementedError
@@ -92,8 +98,15 @@ class ImbalanceKmerUnderSampler(_BaseKmerSampler):
     """Per-motif undersampling of the majority class to the minority count
     (reference: sampler_utils.py:105-182)."""
 
+    def _compute_length(self) -> int:
+        total = 0
+        for motif, majority_idx in self.majority_class_idx.items():
+            count = len(self.minority_class_idx[motif])
+            total += count if len(majority_idx) == 0 else 2 * count
+        return total
+
     def generate_indices(self):
-        indices = []
+        parts = []
         for motif, majority_idx in self.majority_class_idx.items():
             # A motif with zero minority sites contributes nothing at all —
             # faithful to the reference, whose 0-size majority draw drops the
@@ -103,12 +116,12 @@ class ImbalanceKmerUnderSampler(_BaseKmerSampler):
             if len(majority_idx) == 0:
                 # behavioural fix: the reference crashes on a motif with only
                 # minority sites (empty majority draw); keep those sites.
-                indices = np.append(indices, minority_idx)
+                parts.append(minority_idx)
                 continue
             replace = len(majority_idx) < count
-            indices = np.append(indices, np.random.choice(majority_idx, count, replace=replace))
-            indices = np.append(indices, minority_idx)
-        indices = indices.astype(int)
+            parts.append(np.random.choice(majority_idx, count, replace=replace))
+            parts.append(minority_idx)
+        indices = np.concatenate(parts).astype(int) if parts else np.zeros(0, int)
         np.random.shuffle(indices)
         return indices
 
@@ -117,8 +130,20 @@ class ImbalanceKmerOverSampler(_BaseKmerSampler):
     """Per-motif oversampling of the minority class to the majority count
     (reference: sampler_utils.py:185-261)."""
 
+    def _compute_length(self) -> int:
+        total = 0
+        for motif, minority_idx in self.minority_class_idx.items():
+            majority_idx = self.majority_class_idx[motif]
+            if len(minority_idx) == 0:
+                continue
+            if len(minority_idx) > len(majority_idx):
+                total += len(minority_idx) + len(majority_idx)
+            else:
+                total += 2 * len(majority_idx)
+        return total
+
     def generate_indices(self):
-        indices = []
+        parts = []
         for motif, minority_idx in self.minority_class_idx.items():
             majority_idx = self.majority_class_idx[motif]
             if len(minority_idx) == 0:
@@ -128,14 +153,15 @@ class ImbalanceKmerOverSampler(_BaseKmerSampler):
             if len(minority_idx) > len(majority_idx):
                 # behavioural fix: the reference asserts majority >= minority
                 # per motif and dies otherwise; keep such motifs un-augmented.
-                indices = np.append(indices, np.append(minority_idx, majority_idx))
+                parts.append(minority_idx)
+                parts.append(majority_idx)
                 continue
             n_samples = len(majority_idx) - len(minority_idx)
             replace = n_samples > len(minority_idx)
-            sampled = np.random.choice(minority_idx, n_samples, replace=replace)
-            indices = np.append(indices, np.append(minority_idx, sampled))
-            indices = np.append(indices, majority_idx)
-        indices = indices.astype(int)
+            parts.append(minority_idx)
+            parts.append(np.random.choice(minority_idx, n_samples, replace=replace))
+            parts.append(majority_idx)
+        indices = np.concatenate(parts).astype(int) if parts else np.zeros(0, int)
         np.random.shuffle(indices)
         return indices
 

@@ -256,7 +256,9 @@ def run_inference(
     file_mode = "w"
     if resume and os.path.exists(site_path) and os.path.exists(indiv_path):
         n_done = _prepare_resume(site_path, indiv_path)
-        file_mode = "a"
+        # nothing valid survived (e.g. the first run died before the header
+        # buffers flushed): start over in "w" mode so headers are written
+        file_mode = "a" if n_done > 0 else "w"
         log.info("resuming: %d sites already scored", n_done)
 
     def sites_to_score():
@@ -343,28 +345,49 @@ def _prepare_resume(site_path: str, indiv_path: str) -> int:
 
     The site CSV is the source of truth: any site row after the last newline
     is dropped, then the indiv CSV is truncated to exactly the rows of the
-    surviving sites (rows are written grouped per site, in order).
+    surviving sites (rows are written grouped per site, in order).  Both
+    files are processed in fixed-size chunks — resuming a giant run must not
+    materialize gigabytes or loop Python once per read row.
     """
+    CHUNK = 1 << 24
+    n_done = 0
+    expected_reads = 0
     with open(site_path, "rb+") as f:
-        data = f.read()
-        last_nl = data.rfind(b"\n")
-        f.truncate(last_nl + 1)
-        lines = data[: last_nl + 1].decode().splitlines()
-    sites = [line.split(",") for line in lines[1:]]
-    n_done = len(sites)
-    expected_reads = sum(int(row[2]) for row in sites)
+        offset = len(f.readline())  # header (0 for an empty file)
+        tail = b""
+        while True:
+            chunk = f.read(CHUNK)
+            if not chunk:
+                break
+            chunk = tail + chunk
+            lines = chunk.split(b"\n")
+            tail = lines.pop()  # partial last line (possibly b"")
+            for ln in lines:
+                offset += len(ln) + 1
+                n_done += 1
+                expected_reads += int(ln.split(b",")[2])
+        f.truncate(offset)  # drops any torn trailing row
 
     with open(indiv_path, "rb+") as f:
-        header = f.readline()
-        offset = len(header)
-        for _ in range(expected_reads):
-            line = f.readline()
-            if not line or not line.endswith(b"\n"):
+        offset = len(f.readline())
+        remaining = expected_reads
+        while remaining > 0:
+            chunk = f.read(CHUNK)
+            if not chunk:
                 raise RuntimeError(
                     "indiv_proba.csv is shorter than site_proba.csv implies; "
                     "cannot resume — rerun without resume"
                 )
-            offset += len(line)
+            n = chunk.count(b"\n")
+            if n >= remaining:
+                pos = -1
+                for _ in range(remaining):
+                    pos = chunk.find(b"\n", pos + 1)
+                offset += pos + 1
+                remaining = 0
+            else:
+                offset += len(chunk)
+                remaining -= n
         f.truncate(offset)
     return n_done
 
@@ -375,15 +398,16 @@ def merge_host_shards(out_dir: str, n_hosts: int) -> None:
     Host-side merge keeps the reference's append-only CSV contract — no
     device gathers of strings (SURVEY.md §5 distributed notes).
     """
+    import shutil
+
     for name, header in (
         ("data.site_proba.csv", SITE_HEADER),
         ("data.indiv_proba.csv", INDIV_HEADER),
     ):
-        with open(os.path.join(out_dir, name), "w", encoding="utf-8") as out:
-            out.write(header)
+        with open(os.path.join(out_dir, name), "wb") as out:
+            out.write(header.encode())
             for host in range(n_hosts):
                 shard = os.path.join(out_dir, f"{name}.shard{host}")
-                with open(shard, "r", encoding="utf-8") as f:
+                with open(shard, "rb") as f:
                     f.readline()  # strip shard header
-                    for line in f:
-                        out.write(line)
+                    shutil.copyfileobj(f, out, 16 << 20)  # bulk binary copy

@@ -25,7 +25,7 @@ from ..constants import (
 
 def argparser():
     parser = ArgumentParser(formatter_class=ArgumentDefaultsHelpFormatter, add_help=False)
-    parser.add_argument("--input_dir", nargs="*", required=True,
+    parser.add_argument("--input_dir", nargs="+", required=True,
                         help="directories containing data.info and data.json.")
     parser.add_argument("--out_dir", required=True,
                         help="directory to output inference results.")

@@ -176,6 +176,9 @@ def main(args):
             best_epoch = (int(np.argmin(series)) + 1) * args.save_per_epoch
         else:
             best_epoch = (int(np.argmax(series)) + 1) * args.save_per_epoch
+        # checkpoints are saved under GLOBAL epoch numbers (epoch +
+        # resume offset), so a resumed run must select with the same offset
+        best_epoch += getattr(args, "resume_epoch", 0) or 0
         ckpt = os.path.join(save_dir, "model_states", str(best_epoch), "model_states.npz")
         best_params = load_tree(ckpt)
         save_tree(os.path.join(save_dir, f"{criterion}.npz"), best_params)

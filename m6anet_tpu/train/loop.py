@@ -96,11 +96,13 @@ def train_one_epoch(step, params, opt_state, train_loader, rng) -> Tuple:
     y_true, y_pred = [], []
     start = time.time()
     for batch in train_loader:
+        batch = dict(batch)
+        n_valid = batch.pop("n_valid", None)
         rng, step_rng = jax.random.split(rng)
         params, opt_state, loss, pred = step(params, opt_state, batch, step_rng)
         losses.append(loss)
-        y_true.append(batch["y"])
-        y_pred.append(np.asarray(pred).reshape(-1))
+        y_true.append(batch["y"][:n_valid])
+        y_pred.append(np.asarray(pred).reshape(-1)[:n_valid])
     y_true = np.concatenate(y_true)
     y_pred = np.concatenate(y_pred)
     results = {
@@ -122,10 +124,12 @@ def validate(eval_step, params, val_loader, loss_fn, n_iterations: int = 1) -> D
     for _ in range(n_iterations):
         y_true_pass, y_pred_pass = [], []
         for batch in val_loader:
+            batch = dict(batch)
+            n_valid = batch.pop("n_valid", None)
             _, pred = eval_step(params, batch)
             if all_y_true is None:
-                y_true_pass.append(batch["y"])
-            y_pred_pass.append(np.asarray(pred).reshape(-1))
+                y_true_pass.append(batch["y"][:n_valid])
+            y_pred_pass.append(np.asarray(pred).reshape(-1)[:n_valid])
         if all_y_true is None:
             all_y_true = np.concatenate(y_true_pass)
         all_preds.append(np.concatenate(y_pred_pass))

@@ -33,7 +33,7 @@ def test_columnar_matches_json_payloads(columnar_dir):
 
     js = SiteDataset(columnar_dir, min_reads=1, norm_path=None, mode="Inference")
     js.norm_dict = None  # compare raw features
-    col = ColumnarSiteDataset(columnar_dir, min_reads=1, norm_path=None, mode="Inference")
+    col = ColumnarSiteDataset(columnar_dir, min_reads=1, norm_path=None, mode="Inference", compute_norm=False)
     assert len(js) == len(col)
     for i in range(0, len(js), 17):
         a = js.get_site(i)
@@ -293,3 +293,39 @@ def test_replicate_columnar_norm_uses_full_window(tmp_path):
     for kmer in col.norm_dict:
         np.testing.assert_allclose(col.norm_dict[kmer][0], js.norm_dict[kmer][0], rtol=1e-5)
         np.testing.assert_allclose(col.norm_dict[kmer][1], js.norm_dict[kmer][1], rtol=1e-4, atol=1e-7)
+
+
+def test_columnar_training_samplers(columnar_dir):
+    """Class and motif balancing samplers work on the columnar dataset
+    (labels + kmer metadata are exposed like SiteDataset's)."""
+    import shutil
+
+    shutil.copyfile(
+        "/root/reference/m6anet/tests/data/data.info.labelled",
+        os.path.join(columnar_dir, "data.info.labelled"),
+    )
+    from m6anet_tpu.constants import DEFAULT_NORM_PATH
+    from m6anet_tpu.data.columnar import ColumnarSiteDataset
+    from m6anet_tpu.data.samplers import SAMPLER_REGISTRY
+
+    ds = ColumnarSiteDataset(columnar_dir, min_reads=20, norm_path=DEFAULT_NORM_PATH, mode="Train")
+    assert ds.labels is not None and len(ds.labels) == len(ds)
+    for name, cls in SAMPLER_REGISTRY.items():
+        sampler = cls(ds)
+        idx = np.fromiter(iter(sampler), dtype=np.int64)
+        assert len(idx) == len(sampler) > 0, name
+        assert idx.min() >= 0 and idx.max() < len(ds), name
+
+
+def test_columnar_auto_norm_matches_json(columnar_dir):
+    """Without norm_path the columnar dataset auto-computes factors like
+    SiteDataset (silently-raw features were a trap)."""
+    from m6anet_tpu.data.columnar import ColumnarSiteDataset
+    from m6anet_tpu.data.dataset import SiteDataset
+
+    col = ColumnarSiteDataset(columnar_dir, min_reads=20, norm_path=None)
+    js = SiteDataset(columnar_dir, min_reads=20, norm_path=None)
+    assert col.norm_dict and set(col.norm_dict) == set(js.norm_dict)
+    for k in col.norm_dict:
+        np.testing.assert_allclose(col.norm_dict[k][0], js.norm_dict[k][0], rtol=1e-5)
+        np.testing.assert_allclose(col.norm_dict[k][1], js.norm_dict[k][1], rtol=1e-4, atol=1e-7)

@@ -198,3 +198,25 @@ def test_oversized_site_raises(production_model, tmp_path):
     ds = build_dataset(DATA_DIR, min_reads=DEFAULT_MIN_READS, norm_path=norm, mode="Inference")
     with pytest.raises(ValueError, match="read_capacity"):
         list(pack_sites(ds.iter_sites(), read_capacity=128, site_capacity=4))
+
+
+def test_resume_from_empty_files_writes_headers(production_model, tmp_path):
+    """A crash before the first flush leaves empty CSVs; --resume must still
+    produce headered, complete output."""
+    import os
+
+    from m6anet_tpu.constants import DEFAULT_MIN_READS, PRETRAINED_CONFIGS
+    from m6anet_tpu.data.dataset import build_dataset
+    from m6anet_tpu.inference.engine import run_inference
+
+    model, params = production_model
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    ds = build_dataset(DATA_DIR, min_reads=DEFAULT_MIN_READS, norm_path=norm, mode="Inference")
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    open(os.path.join(out, "data.site_proba.csv"), "w").close()
+    open(os.path.join(out, "data.indiv_proba.csv"), "w").close()
+    run_inference(model, params, ds, out, thr, resume=True)
+    site = pd.read_csv(os.path.join(out, "data.site_proba.csv"))
+    assert list(site.columns)[:2] == ["transcript_id", "transcript_position"]
+    assert len(site) == 101

@@ -46,7 +46,7 @@ def build_dataset(out_dir: str, n_sites: int, n_reads_total: int, seed: int = 0)
             n_neighbors=1,
             output_format="columnar",
         )
-    demo = ColumnarSiteDataset(demo_dir, min_reads=20, norm_path=None)
+    demo = ColumnarSiteDataset(demo_dir, min_reads=20, norm_path=None, compute_norm=False)
     demo_sites = [demo.get_site(i) for i in range(len(demo))]
     print(f"demo template: {len(demo_sites)} sites")
 
