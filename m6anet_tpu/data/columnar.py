@@ -268,7 +268,8 @@ class ColumnarSiteDataset:
             label=label,
         )
 
-    def iter_sites(self) -> Iterator[Site]:
+    def iter_sites(self, n_threads: int = 1) -> Iterator[Site]:
+        del n_threads  # memory-mapped, parse-free: threads buy nothing here
         for idx in range(len(self)):
             yield self.get_site(idx)
 
@@ -478,7 +479,14 @@ class ReplicateColumnarDataset:
         members = [(r, self.reps[r].get_site(raw)) for r, raw in self.entries[idx]]
         seq0 = members[0][1].sequence
         for _, s in members[1:]:
-            assert s.sequence == seq0, "replicates disagree on sequence context"
+            # data-integrity check — must survive `python -O` (a mismatch
+            # would silently normalize with the wrong kmer factors)
+            if s.sequence != seq0:
+                raise ValueError(
+                    f"replicates disagree on sequence context at "
+                    f"{members[0][1].tx_id}:{members[0][1].tx_pos}: "
+                    f"{seq0!r} vs {s.sequence!r}"
+                )
         features = np.concatenate([s.features for _, s in members])
         if self.norm_dict:
             mean, std = _cached_site_norm(self.norm_dict, self._norm_cache, seq0, self.n_positions)
@@ -500,6 +508,7 @@ class ReplicateColumnarDataset:
             label=None,
         )
 
-    def iter_sites(self) -> Iterator[Site]:
+    def iter_sites(self, n_threads: int = 1) -> Iterator[Site]:
+        del n_threads  # memory-mapped, parse-free: threads buy nothing here
         for idx in range(len(self)):
             yield self.get_site(idx)

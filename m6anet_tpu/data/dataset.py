@@ -57,6 +57,25 @@ class Site:
         return self.sequence[(n_pos - 1) // 2 :][:5]
 
 
+def _threaded_site_iter(get_site, n: int, n_threads: int) -> Iterator[Site]:
+    """Windowed thread-pool iteration over ``get_site(idx)`` in index order.
+
+    Payload reads and the native JSON parse release the GIL, so this scales
+    with host cores while preserving output order (a bounded look-ahead
+    window keeps memory O(n_threads), not O(dataset))."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n_threads) as pool:
+        window = n_threads * 4
+        futures = {idx: pool.submit(get_site, idx) for idx in range(min(window, n))}
+        for idx in range(n):
+            site = futures.pop(idx).result()
+            nxt = idx + window
+            if nxt < n:
+                futures[nxt] = pool.submit(get_site, nxt)
+            yield site
+
+
 def _feature_indices(total_w: int, w: int) -> np.ndarray:
     """Column indices selecting the central (2w+1) positions' triplets from a
     (2*total_w+1)-position feature row
@@ -387,8 +406,13 @@ class ReplicateSiteDataset(SiteDataset):
             )
             if seq0 is None:
                 seq0 = seq
-            else:
-                assert seq0 == seq, "replicates disagree on sequence context"
+            elif seq0 != seq:
+                # data-integrity check — must survive `python -O`
+                raise ValueError(
+                    f"replicates disagree on sequence context at "
+                    f"{row['transcript_id']}:{row['transcript_position']}: "
+                    f"{seq0!r} vs {seq!r}"
+                )
             rep = self.rep_number[d]
             all_feats.append(raw)
             all_reads.extend(f"{int(r)}_{rep}" for r in raw[:, -1])
@@ -398,7 +422,10 @@ class ReplicateSiteDataset(SiteDataset):
         site.read_ids = np.array(all_reads)
         return site
 
-    def iter_sites(self) -> Iterator[Site]:
+    def iter_sites(self, n_threads: int = 1) -> Iterator[Site]:
+        if n_threads > 1 and len(self) >= 32:
+            yield from _threaded_site_iter(self.get_site, len(self), n_threads)
+            return
         for idx in range(len(self)):
             yield self.get_site(idx)
 
@@ -423,7 +450,13 @@ class ConcatSiteDataset:
     treated as ONE dataset (multi-host dataprep shards; unlike
     ReplicateSiteDataset the shards cover different transcripts, so read ids
     are kept as-is and nothing is pooled).  ``columnar=True`` reads each
-    shard's columnar store instead of data.json."""
+    shard's columnar store instead of data.json.
+
+    API note (changed 2026-08): ``norm_path`` is required.  Earlier revisions
+    silently auto-computed per-shard norm factors, which normalized one
+    logical dataset inconsistently shard-by-shard; pass the factors the whole
+    dataset should share (compute them once with
+    ``m6anet_tpu compute_norm_factors`` if needed)."""
 
     def __init__(self, root_dirs: Sequence[str], columnar: bool = False, **kwargs):
         if kwargs.get("norm_path") is None:
@@ -448,6 +481,6 @@ class ConcatSiteDataset:
         part = int(np.searchsorted(self._offsets, idx, side="right")) - 1
         return self.parts[part].get_site(idx - int(self._offsets[part]))
 
-    def iter_sites(self) -> Iterator[Site]:
+    def iter_sites(self, n_threads: int = 1) -> Iterator[Site]:
         for part in self.parts:
-            yield from part.iter_sites()
+            yield from part.iter_sites(n_threads=n_threads)

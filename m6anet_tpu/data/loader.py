@@ -73,8 +73,9 @@ class TrainLoader:
                     reps = -(-target // len(items))
                     items = (items * reps)[:target]
                 # "n_valid" marks wrap-around padding; the training loop pops
-                # it before the jitted step and de-pads host-side so padded
-                # duplicates never enter loss averages or ROC/PR metrics
+                # it, turns it into a per-sample loss mask for the jitted
+                # step (padded duplicates get zero loss weight) and de-pads
+                # the ROC/PR metrics host-side
                 yield {
                     "X": np.stack([it[0] for it in items]).astype(np.float32),
                     "kmer": np.stack([it[1] for it in items]).astype(np.int32),

@@ -202,6 +202,7 @@ def run_inference(
     precision: str = "f32",
     resume: bool = False,
     host_shard: Optional[Tuple[int, int]] = None,
+    n_threads: int = 1,
 ) -> None:
     """Run inference over every site of the dataset and write both CSVs.
 
@@ -262,7 +263,20 @@ def run_inference(
         log.info("resuming: %d sites already scored", n_done)
 
     def sites_to_score():
-        it = dataset.iter_sites()
+        # parse payloads on a thread pool when the dataset supports it — the
+        # native data.json parser releases the GIL, so the featurize feed
+        # scales with host cores (the moral equivalent of the reference's
+        # DataLoader num_workers, m6anet/scripts/inference.py:104-105)
+        iter_kwargs = {}
+        if n_threads > 1:
+            import inspect
+
+            try:
+                if "n_threads" in inspect.signature(dataset.iter_sites).parameters:
+                    iter_kwargs["n_threads"] = n_threads
+            except (TypeError, ValueError):
+                pass
+        it = dataset.iter_sites(**iter_kwargs)
         skip = global_offset + n_done
         for _ in range(skip):
             next(it)
@@ -365,7 +379,14 @@ def _prepare_resume(site_path: str, indiv_path: str) -> int:
             for ln in lines:
                 offset += len(ln) + 1
                 n_done += 1
-                expected_reads += int(ln.split(b",")[2])
+                try:
+                    expected_reads += int(ln.split(b",")[2])
+                except (IndexError, ValueError) as e:
+                    raise RuntimeError(
+                        f"site_proba.csv row {n_done} is malformed "
+                        f"({ln[:80]!r}); cannot resume — rerun without "
+                        "--resume"
+                    ) from e
         f.truncate(offset)  # drops any torn trailing row
 
     with open(indiv_path, "rb+") as f:

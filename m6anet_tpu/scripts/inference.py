@@ -2,9 +2,10 @@
 
 Flag parity with the reference CLI (reference: m6anet/scripts/inference.py)
 plus TPU-native knobs (--site_proba_method, --read_capacity, --site_capacity).
---n_processes, --batch_size and --save_per_batch are accepted for
-compatibility but are no-ops: batching is capacity-based and results are
-always fully flushed.
+--n_processes sets the data.json payload-parsing thread count (the analog of
+the reference DataLoader's num_workers); --batch_size and --save_per_batch
+are accepted for compatibility but are no-ops: batching is capacity-based and
+results are always fully flushed.
 """
 from __future__ import annotations
 
@@ -42,7 +43,9 @@ def argparser():
     parser.add_argument("--save_per_batch", default=2, type=int,
                         help="compatibility no-op (results are always flushed).")
     parser.add_argument("--n_processes", default=25, type=int,
-                        help="compatibility no-op (the featurized reader is sequential I/O).")
+                        help="host threads parsing data.json payloads (the native "
+                             "parser releases the GIL; columnar input ignores this "
+                             "— its feed is parse-free).")
     parser.add_argument("--num_iterations", default=1000, type=int,
                         help="number of sampling iterations (mc mode only).")
     parser.add_argument("--device", default="tpu", type=str,
@@ -207,6 +210,7 @@ def main(args):
         precision=getattr(args, "precision", "f32"),
         resume=getattr(args, "resume", False),
         host_shard=host_shard,
+        n_threads=getattr(args, "n_processes", 1),
     )
 
     if getattr(args, "distributed", False):

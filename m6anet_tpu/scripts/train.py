@@ -11,13 +11,15 @@ import json
 import os
 from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser
 
-from ..constants import DEFAULT_MODEL_CONFIG
+from ..constants import DEFAULT_MODEL_CONFIG, TRAIN_CONFIG_TEMPLATE
 
 
 def argparser():
     parser = ArgumentParser(formatter_class=ArgumentDefaultsHelpFormatter, add_help=False)
     parser.add_argument("--model_config", default=DEFAULT_MODEL_CONFIG, help="path to model config file.")
-    parser.add_argument("--train_config", required=True, help="path to training config file.")
+    parser.add_argument("--train_config", required=True,
+                        help="path to training config file (ready-to-edit "
+                             f"template packaged at {TRAIN_CONFIG_TEMPLATE}).")
     parser.add_argument("--save_dir", required=True, help="directory to output training results.")
     parser.add_argument("--device", default="tpu", type=str,
                         help="jax platform to run on ('tpu' default; 'cpu' forces "

@@ -58,17 +58,36 @@ def _merge_updates(params, updates):
     return merged
 
 
+def _loss_supports_mask(loss_fn: Callable) -> bool:
+    import inspect
+
+    try:
+        return "mask" in inspect.signature(loss_fn).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 def make_train_step(model, loss_fn: Callable, optimizer):
-    """One fused device step: grads, Adam update, BN stat refresh."""
+    """One fused device step: grads, Adam update, BN stat refresh.
+
+    If the batch carries a ``mask`` array (1.0 = real sample, 0.0 =
+    wrap-around padding from TrainLoader's ``pad_to_multiple``) and the loss
+    function accepts a ``mask`` kwarg, padded duplicates get zero loss
+    weight; custom losses without mask support fall back to the full-batch
+    reduction (metrics are always de-padded host-side)."""
+    supports_mask = _loss_supports_mask(loss_fn)
 
     @jax.jit
     def step(params, opt_state, batch, rng):
         mask = trainable_mask(params)
+        sample_mask = batch.get("mask") if supports_mask else None
 
         def objective(p):
             pred, updates = model.site_probability(
                 p, {"X": batch["X"], "kmer": batch["kmer"]}, train=True, rng=rng
             )
+            if sample_mask is not None:
+                return loss_fn(pred, batch["y"], mask=sample_mask), (pred, updates)
             return loss_fn(pred, batch["y"]), (pred, updates)
 
         (loss, (pred, bn_updates)), grads = jax.value_and_grad(objective, has_aux=True)(params)
@@ -98,6 +117,10 @@ def train_one_epoch(step, params, opt_state, train_loader, rng) -> Tuple:
     for batch in train_loader:
         batch = dict(batch)
         n_valid = batch.pop("n_valid", None)
+        if n_valid is not None:
+            # wrap-around padded rows (loader pad_to_multiple) get zero loss
+            # weight; see make_train_step
+            batch["mask"] = (np.arange(len(batch["y"])) < n_valid).astype(np.float32)
         rng, step_rng = jax.random.split(rng)
         params, opt_state, loss, pred = step(params, opt_state, batch, step_rng)
         losses.append(loss)

@@ -19,27 +19,42 @@ def _bce_elementwise(y_pred, y_true):
     return -(y_true * log_p + (1.0 - y_true) * log_1mp)
 
 
-def binary_cross_entropy_loss(y_pred, y_true):
+def binary_cross_entropy_loss(y_pred, y_true, mask=None):
     """Plain BCE on probabilities
-    (reference: loss_functions.py:8-20)."""
-    return jnp.mean(_bce_elementwise(y_pred, y_true))
+    (reference: loss_functions.py:8-20).
+
+    ``mask`` (same length as the batch, 1.0 = real sample, 0.0 = padding)
+    turns the reduction into a masked mean so wrap-around padded duplicates
+    in the final batch of an epoch carry zero loss weight."""
+    e = _bce_elementwise(y_pred, y_true)
+    if mask is None:
+        return jnp.mean(e)
+    m = mask.reshape(-1).astype(e.dtype)
+    return jnp.sum(e * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
-def weighted_binary_cross_entropy_loss(y_pred, y_true):
+def weighted_binary_cross_entropy_loss(y_pred, y_true, mask=None):
     """Inverse-class-frequency weighted BCE: label-0 samples weighted by the
     positive count and label-1 samples by the negative count
     (reference: loss_functions.py:23-39, whose tuple unpacking of sorted
-    unique counts produces exactly this pairing)."""
+    unique counts produces exactly this pairing).  ``mask`` excludes padded
+    rows from both the class counts and the reduction."""
     y_true_f = y_true.reshape(-1).astype(y_pred.dtype)
-    n_pos = jnp.sum(y_true_f)
-    n_neg = y_true_f.size - n_pos
+    m = None if mask is None else mask.reshape(-1).astype(y_pred.dtype)
+    counted = y_true_f if m is None else y_true_f * m
+    n_pos = jnp.sum(counted)
+    n_total = y_true_f.size if m is None else jnp.sum(m)
+    n_neg = n_total - n_pos
     weights = jnp.where(y_true_f == 0, n_pos, n_neg)
     # single-class batch: the inverse-frequency weights are all zero (the
     # reference crashes on its 2-tuple unpack here); fall back to plain BCE
     # so the batch still contributes gradients
     degenerate = jnp.logical_or(n_pos == 0, n_neg == 0)
     weights = jnp.where(degenerate, jnp.ones_like(weights), weights)
-    return jnp.mean(_bce_elementwise(y_pred, y_true) * weights)
+    e = _bce_elementwise(y_pred, y_true) * weights
+    if m is None:
+        return jnp.mean(e)
+    return jnp.sum(e * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
 LOSS_REGISTRY = {
