@@ -59,28 +59,21 @@ static inline bool field_eq(const Field& a, const Field& b) {
   return a.len == b.len && memcmp(a.p, b.p, a.len) == 0;
 }
 
-static inline double parse_double(const Field& f) {
+// Strict field parsers: the WHOLE field must parse (no trailing junk, no
+// leading '+', no out-of-range values) or the caller skips the line.  The
+// Python fallback (dataprep/combine.py) enforces the identical policy so
+// both paths accept/reject byte-for-byte the same lines
+// (tests/test_native_fuzz.py asserts this on adversarial input).
+static inline bool parse_double_strict(const Field& f, double* out) {
   // std::from_chars: no copy, no locale; identical rounding to strtod
-  // (both correctly-rounded IEEE doubles).
-  double v = 0.0;
-  std::from_chars(f.p, f.p + f.len, v);
-  return v;
+  // (both correctly-rounded IEEE doubles); rejects '+', hex, partial fields.
+  auto res = std::from_chars(f.p, f.p + f.len, *out);
+  return res.ec == std::errc() && res.ptr == f.p + f.len;
 }
 
-static inline long long parse_ll(const Field& f) {
-  long long v = 0;
-  bool neg = false;
-  const char* p = f.p;
-  const char* end = f.p + f.len;
-  if (p < end && *p == '-') {
-    neg = true;
-    ++p;
-  }
-  for (; p < end; ++p) {
-    if (*p < '0' || *p > '9') break;
-    v = v * 10 + (*p - '0');
-  }
-  return neg ? -v : v;
+static inline bool parse_ll_strict(const Field& f, long long* out) {
+  auto res = std::from_chars(f.p, f.p + f.len, *out);
+  return res.ec == std::errc() && res.ptr == f.p + f.len;
 }
 
 }  // namespace
@@ -219,17 +212,24 @@ long long ea_combine_batch(const char* path, const int64_t* starts,
       const char* nl = static_cast<const char*>(
           memchr(p, '\n', static_cast<size_t>(bend - p)));
       const char* line_end = nl ? nl : bend;
+      const char* next = line_end + 1;
+      if (line_end > p && line_end[-1] == '\r') --line_end;  // tolerate \r\n
       Field f[15];
       int nf = split_fields(p, line_end, f, 15);
-      p = line_end + 1;
+      p = next;
       if (nf < 15) continue;
       // reference_kmer (2) == model_kmer (9) filter
       if (!field_eq(f[2], f[9])) continue;
-      long long position = parse_ll(f[1]);
-      double ev_mean = parse_double(f[6]);
-      double ev_stdv = parse_double(f[7]);
-      double ev_len = parse_double(f[8]);
-      double w = static_cast<double>(parse_ll(f[14]) - parse_ll(f[13]));
+      long long position, s13, s14;
+      double ev_mean, ev_stdv, ev_len;
+      if (!parse_ll_strict(f[1], &position) ||
+          !parse_double_strict(f[6], &ev_mean) ||
+          !parse_double_strict(f[7], &ev_stdv) ||
+          !parse_double_strict(f[8], &ev_len) ||
+          !parse_ll_strict(f[13], &s13) || !parse_ll_strict(f[14], &s14)) {
+        continue;  // malformed numeric field: skip the line
+      }
+      double w = static_cast<double>(s14 - s13);
 
       Acc* acc = nullptr;
       // positions arrive in order; check last accumulator first
@@ -343,16 +343,23 @@ long long ea_featurize_batch(const char* path, const int64_t* starts,
       const char* nl = static_cast<const char*>(
           memchr(p, '\n', static_cast<size_t>(bend - p)));
       const char* line_end = nl ? nl : bend;
+      const char* next = line_end + 1;
+      if (line_end > p && line_end[-1] == '\r') --line_end;  // tolerate \r\n
       Field f[15];
       int nf = split_fields(p, line_end, f, 15);
-      p = line_end + 1;
+      p = next;
       if (nf < 15) continue;
       if (!field_eq(f[2], f[9])) continue;
-      long long position = parse_ll(f[1]);
-      double ev_mean = parse_double(f[6]);
-      double ev_stdv = parse_double(f[7]);
-      double ev_len = parse_double(f[8]);
-      double wt = static_cast<double>(parse_ll(f[14]) - parse_ll(f[13]));
+      long long position, s13, s14;
+      double ev_mean, ev_stdv, ev_len;
+      if (!parse_ll_strict(f[1], &position) ||
+          !parse_double_strict(f[6], &ev_mean) ||
+          !parse_double_strict(f[7], &ev_stdv) ||
+          !parse_double_strict(f[8], &ev_len) ||
+          !parse_ll_strict(f[13], &s13) || !parse_ll_strict(f[14], &s14)) {
+        continue;  // malformed numeric field: skip the line
+      }
+      double wt = static_cast<double>(s14 - s13);
 
       Acc* acc = nullptr;
       if (!accs.empty() && accs.back().pos == position) {
