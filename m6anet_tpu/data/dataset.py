@@ -358,6 +358,26 @@ class ReplicateSiteDataset(SiteDataset):
         self.data_info = info[info["n_reads"] >= self.min_reads].reset_index(drop=True)
         self.rep_number = {d: i for i, d in enumerate(self.root_dirs)}
         self.data_fpath = None  # sites span several files
+        # plain-array row access (iloc per site dominates otherwise) + one
+        # persistent handle per (thread, replicate file)
+        import threading
+
+        self._tx_arr = self.data_info["transcript_id"].to_numpy()
+        self._pos_arr = self.data_info["transcript_position"].to_numpy()
+        self._coords_list = self.data_info["coords"].tolist()
+        self._fpath_list = self.data_info["fpath"].tolist()
+        self._local = threading.local()
+
+    def _dir_handle(self, d: str):
+        """Thread-local persistent handle for one replicate's data.json (the
+        previous revision re-opened the file once per site per replicate)."""
+        handles = getattr(self._local, "handles", None)
+        if handles is None:
+            handles = self._local.handles = {}
+        h = handles.get(d)
+        if h is None:
+            h = handles[d] = open(os.path.join(d, "data.json"), "rb")
+        return h
 
     def _infer_total_neighboring_features(self) -> int:
         if len(self.data_info) == 0:
@@ -368,41 +388,74 @@ class ReplicateSiteDataset(SiteDataset):
         seq, _ = self._load_payload(fpath, row["transcript_id"], row["transcript_position"], start, end)
         return (len(seq) - 5) // 2
 
+    @staticmethod
+    def _payload_any(raw: bytes):
+        """Parse one data.json line without knowing its (tx, pos) keys."""
+        obj = json.loads(raw)
+        seq, feats = next(iter(next(iter(next(iter(obj.values())).values())).items()))
+        return seq, np.asarray(feats, dtype=np.float64)
+
     def _compute_norm_factors(self, n_processes: int) -> NormDict:
         """Aggregate streaming sum/sum² across every replicate
-        (reference: m6anet/utils/data_utils.py:429-495)."""
+        (reference: m6anet/utils/data_utils.py:429-495).
+
+        One pass per replicate file in byte-offset order (near-sequential
+        I/O) with the native payload parser — the previous revision
+        re-opened + stdlib-json-parsed every payload per data_info row.
+        Per-kmer accumulation order differs from the reference's per-site
+        order only in float summation order (~1e-15 relative)."""
+        del n_processes
         if len(self.data_info) == 0:
             return {}
+        from ..native import native_parse_site_json
+
+        per_dir: Dict[str, List[Tuple[int, int]]] = {}
+        for coords, fpaths in zip(self._coords_list, self._fpath_list):
+            for (start, end), d in zip(coords, fpaths):
+                per_dir.setdefault(d, []).append((int(start), int(end)))
+
         sums: Dict[str, np.ndarray] = {}
         sqs: Dict[str, np.ndarray] = {}
         counts: Dict[str, int] = {}
-        for _, row in self.data_info.iterrows():
-            for (start, end), d in zip(row["coords"], row["fpath"]):
-                seq, raw = self._load_payload(
-                    os.path.join(d, "data.json"), row["transcript_id"], row["transcript_position"], start, end
-                )
-                feats = raw[:, :-1]
-                for seg in range(len(seq) - 4):
-                    kmer = seq[seg : seg + 5]
-                    sl = feats[:, 3 * seg : 3 * (seg + 1)]
-                    if kmer not in sums:
-                        sums[kmer], sqs[kmer], counts[kmer] = np.zeros(3), np.zeros(3), 0
-                    sums[kmer] += sl.sum(axis=0)
-                    sqs[kmer] += np.square(sl).sum(axis=0)
-                    counts[kmer] += len(sl)
+        n_cols = None
+        for d, coord_list in per_dir.items():
+            coord_list.sort()
+            with open(os.path.join(d, "data.json"), "rb") as f:
+                for start, end in coord_list:
+                    f.seek(start)
+                    raw = f.read(end - start)
+                    parsed = (
+                        native_parse_site_json(raw, n_cols) if n_cols is not None else None
+                    )
+                    if parsed is None:
+                        seq, feats = self._payload_any(raw)
+                        if n_cols is None:
+                            n_cols = feats.shape[1]
+                    else:
+                        seq, feats = parsed
+                    feats = feats[:, :-1]
+                    for seg in range(len(seq) - 4):
+                        kmer = seq[seg : seg + 5]
+                        sl = feats[:, 3 * seg : 3 * (seg + 1)]
+                        if kmer not in sums:
+                            sums[kmer], sqs[kmer], counts[kmer] = np.zeros(3), np.zeros(3), 0
+                        sums[kmer] += sl.sum(axis=0)
+                        sqs[kmer] += np.square(sl).sum(axis=0)
+                        counts[kmer] += len(sl)
         return finalize_norm_dict(sums, sqs, counts)
 
     def get_site(self, idx: int, handle=None) -> Site:
-        del handle
-        row = self.data_info.iloc[idx]
+        del handle  # replicate sites span several files; see _dir_handle
+        tx_id = self._tx_arr[idx]
+        tx_pos = self._pos_arr[idx]
         all_feats: List[np.ndarray] = []
-        all_reads: List[str] = []
+        all_reads: List[np.ndarray] = []
         seq0 = None
         n_cols = 3 * (2 * self.total_neighboring_features + 1) + 1
-        for (start, end), d in zip(row["coords"], row["fpath"]):
+        for (start, end), d in zip(self._coords_list[idx], self._fpath_list[idx]):
             seq, raw = self._load_payload(
-                os.path.join(d, "data.json"), row["transcript_id"], row["transcript_position"],
-                start, end, n_cols=n_cols,
+                os.path.join(d, "data.json"), tx_id, tx_pos,
+                start, end, handle=self._dir_handle(d), n_cols=n_cols,
             )
             if seq0 is None:
                 seq0 = seq
@@ -410,16 +463,18 @@ class ReplicateSiteDataset(SiteDataset):
                 # data-integrity check — must survive `python -O`
                 raise ValueError(
                     f"replicates disagree on sequence context at "
-                    f"{row['transcript_id']}:{row['transcript_position']}: "
-                    f"{seq0!r} vs {seq!r}"
+                    f"{tx_id}:{tx_pos}: {seq0!r} vs {seq!r}"
                 )
             rep = self.rep_number[d]
             all_feats.append(raw)
-            all_reads.extend(f"{int(r)}_{rep}" for r in raw[:, -1])
+            # vectorized "{read}_{rep}" suffixing (reference: data_utils.py:423)
+            all_reads.append(
+                np.char.add(raw[:, -1].astype(np.int64).astype("U20"), f"_{rep}")
+            )
         raw = np.concatenate(all_feats)
-        label = None if self.mode == "Inference" else int(row["modification_status"])
-        site = self._site_from_payload(row["transcript_id"], row["transcript_position"], seq0, raw, label)
-        site.read_ids = np.array(all_reads)
+        label = None if self.mode == "Inference" else int(self.labels[idx])
+        site = self._site_from_payload(tx_id, tx_pos, seq0, raw, label)
+        site.read_ids = np.concatenate(all_reads)
         return site
 
     def iter_sites(self, n_threads: int = 1) -> Iterator[Site]:
