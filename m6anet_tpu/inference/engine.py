@@ -66,33 +66,28 @@ def make_infer_step(
         )
     if backend == "pallas_fused" and method != "exact":
         raise ValueError("backend 'pallas_fused' supports only the exact site method")
-    if backend == "pallas_fused" and site_capacity > 4096:
-        # the kernel's (block, site_capacity) one-hot scatter matrix lives in
-        # VMEM, so its footprint scales with site_capacity (32 MB at 8192
-        # sites x 1024 block — beyond v5e VMEM); use xla/pallas for larger
-        # batches
-        raise ValueError(
-            "backend 'pallas_fused' supports site_capacity <= 4096 "
-            f"(got {site_capacity}); use --backend xla or pallas"
-        )
-    if precision not in ("f32", "bf16"):
-        raise ValueError(f"precision must be 'f32' or 'bf16', got {precision!r}")
-    if precision == "bf16" and backend != "pallas":
-        raise ValueError("precision 'bf16' is supported on the 'pallas' backend")
+    if precision not in ("f32", "f32x3", "bf16"):
+        raise ValueError(f"precision must be 'f32', 'f32x3' or 'bf16', got {precision!r}")
+    if precision != "f32" and backend == "xla":
+        raise ValueError(f"precision {precision!r} is supported on the pallas backends")
 
     # pallas kernels compile for TPU; on the CPU backend they run interpreted
     interpret = jax.default_backend() == "cpu"
 
     if backend == "pallas_fused":
+        import jax.numpy as jnp
+
         from ..ops.encoder_kernel import prepare_fused_params
         from ..ops.fused_infer_kernel import fused_inference
+
+        fused_dtype = {"bf16": jnp.bfloat16, "f32x3": "f32x3"}.get(precision, jnp.float32)
 
         @partial(jax.jit, donate_argnums=())
         def fused_step(params, features, kmer_ids, site_ids, offsets, counts, global_ids, base_key):
             fp = prepare_fused_params(params)
             p, site_p, mod_ratio = fused_inference(
                 fp, features, kmer_ids, site_ids, counts, threshold, n_samples,
-                interpret=interpret,
+                interpret=interpret, compute_dtype=fused_dtype,
             )
             return p, site_p, mod_ratio
 
@@ -103,7 +98,7 @@ def make_infer_step(
 
         from ..ops.encoder_kernel import fused_read_probability, prepare_fused_params
 
-        compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+        compute_dtype = {"bf16": jnp.bfloat16, "f32x3": "f32x3"}.get(precision, jnp.float32)
 
         def per_read_prob(params, features, kmer_ids):
             return fused_read_probability(

@@ -100,17 +100,27 @@ def encoder_body(dot, x_ref, k_ref, w1x_ref, t_ref, b1_ref, w2_ref, b2_ref, w3_r
 
 
 def make_parity_dot(compute_dtype):
-    """Precision policy: f32 runs every matmul at HIGHEST precision for
-    parity with the released CPU-f32 models; bf16 casts activations/tables
-    to bfloat16 with f32 accumulation — one MXU pass per matmul instead of
-    ~6, at ~1e-3 probability error (still far inside the site tolerance)."""
-    parity = compute_dtype == jnp.float32
-    precision = jax.lax.Precision.HIGHEST if parity else jax.lax.Precision.DEFAULT
+    """Precision policy: f32 runs every matmul at HIGHEST precision (6-pass
+    f32 emulation) for parity with the released CPU-f32 models; the string
+    ``"f32x3"`` selects Precision.HIGH (3-pass bf16x3, ~f32-accurate —
+    relative error ~1e-7 on this model's magnitudes, still inside the 1e-5
+    per-read golden tolerance); bf16 casts activations/tables to bfloat16
+    with f32 accumulation — one MXU pass per matmul, at ~1e-3 probability
+    error (far inside the site tolerance)."""
+    if compute_dtype == "f32x3":
+        precision = jax.lax.Precision.HIGH
+        cast = None
+    elif compute_dtype == jnp.float32:
+        precision = jax.lax.Precision.HIGHEST
+        cast = None
+    else:
+        precision = jax.lax.Precision.DEFAULT
+        cast = jnp.bfloat16
 
     def dot(a, b):
-        if not parity:
-            a = a.astype(jnp.bfloat16)
-            b = b.astype(jnp.bfloat16)
+        if cast is not None:
+            a = a.astype(cast)
+            b = b.astype(cast)
         return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=precision)
 
     return dot

@@ -2,22 +2,38 @@
 
 Extends the fused read-encoder (see encoder_kernel.py) with the per-site
 reductions, so one kernel launch produces per-read probabilities, closed-form
-noisy-OR site probabilities AND mod_ratios:
+noisy-OR site probabilities AND mod_ratios (the two hot boxes of the
+reference's inference stack fused into one device program —
+reference: m6anet/utils/inference_utils.py:35-53).
 
-* grid iterates over read blocks; TPU grid steps run sequentially on the
-  core, so VMEM scratch accumulators persist across steps;
-* the scatter-add "read -> site" is a one-hot MXU contraction
-  ``(1, block) @ (block, site_capacity)`` — no gathers or scatters;
-* padding reads carry ``site_id == site_capacity`` and match no one-hot
-  column, so they contribute nothing;
+Site-scatter design (2026-08-19 rework).  ``pack_sites`` lays reads out
+densely with *consecutive* site ids (m6anet_tpu/data/batching.py:86-95), so
+any window of W consecutive reads spans fewer than W distinct sites.  The
+kernel exploits that contiguity:
+
+* the grid iterates over large read blocks (good DMA granularity); TPU grid
+  steps run sequentially on the core, so the site-sum output block — mapped
+  to the same block every step — accumulates across steps;
+* each block is reduced in 512-read sub-chunks: a (512, 512+128) *local*
+  one-hot over ``site_id - aligned_base`` is built on the VPU and reduced
+  over the read axis, then added into the site accumulator at a 128-aligned
+  dynamic lane offset.  Cost is O(reads * 640) VPU ops — independent of
+  ``site_capacity`` — replacing the previous (block, site_capacity) one-hot
+  MXU contraction that both capped site_capacity at 4096 (VMEM) and burned
+  O(site_capacity) MXU FLOPs per read;
+* padding reads carry ``site_id == site_capacity``; their local column lands
+  in the padded tail of the accumulator (width site_capacity + 640) and is
+  sliced off on the host, so no masking is needed anywhere;
 * the final grid step turns the accumulated sums into
-  ``1 - (mean(1-p))**n_samples`` and ``hits / count``.
+  ``1 - (mean(1-p))**n_samples`` and ``hits / count`` in place.
 
 This removes every HBM round-trip of the inference step: inputs stream in
-once, outputs stream out once.
+once, per-read probabilities stream out once, and the O(sites) outputs live
+in VMEM until the last step.
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -27,90 +43,107 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .encoder_kernel import FusedEncoderParams, encoder_body, make_parity_dot
 
-# smaller than the encoder-only kernel: the (block, site_capacity) one-hot
-# site matrix dominates VMEM (512*1024*4B = 2 MB fits; 2048 blocks OOM)
-DEFAULT_BLOCK_READS = 512
+DEFAULT_BLOCK_READS = 2048
+# sub-chunk size for the local segment reduction; the one-hot transient is
+# (SUB, SUB + LANE) f32 = 1.6 MB
+SUB = 512
+LANE = 128
+
+
+def _align_down(i):
+    return (i // LANE) * LANE
 
 
 def _fused_infer_kernel(
-    # scalar-prefetch style params come in as plain VMEM blocks
-    x_ref, k_ref, sid_ref, counts_ref,
+    x_ref, k_ref, sid_ref, base_ref, counts_ref,
     w1x_ref, t_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, thr_ref,
     p_out, site_out,
-    sums_scr, hits_scr,
-    *, n_samples: int,
+    *, n_samples: int, compute_dtype,
 ):
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
     block = x_ref.shape[0]
-    site_capacity = sums_scr.shape[1]
 
     @pl.when(step == 0)
     def _init():
-        sums_scr[:] = jnp.zeros_like(sums_scr)
-        hits_scr[:] = jnp.zeros_like(hits_scr)
+        site_out[:] = jnp.zeros_like(site_out)
 
     # ---- encoder: shared body with the encoder-only kernel ----
     p = encoder_body(
-        make_parity_dot(jnp.float32),
+        make_parity_dot(compute_dtype),
         x_ref, k_ref, w1x_ref, t_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     )  # (block, 1)
     p_out[:] = p
 
-    # ---- site accumulation: one-hot scatter on the MXU ----
-    sid = sid_ref[:].reshape(block, 1)  # padding == site_capacity
-    site_cols = jax.lax.broadcasted_iota(jnp.int32, (block, site_capacity), 1)
-    onehot_s = (site_cols == sid).astype(jnp.float32)  # (block, S)
-    one_minus = (1.0 - p).reshape(1, block)
-    # padding rows have all-zero one-hot -> no masking needed
-    sums_scr[:] += jnp.dot(one_minus, onehot_s, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-    thr = thr_ref[0, 0]
-    hits = (p >= thr).astype(jnp.float32).reshape(1, block)
-    hits_scr[:] += jnp.dot(hits, onehot_s, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+    # ---- site accumulation: local contiguous segment reduction (VPU) ----
+    thr = thr_ref[0]
+    one_minus = 1.0 - p  # (block, 1)
+    hits = (p >= thr).astype(jnp.float32)  # (block, 1)
+    width = SUB + LANE
+    cols = jax.lax.broadcasted_iota(jnp.int32, (SUB, width), 1)
+    for c in range(block // SUB):
+        # 128-aligned first site id of this sub-chunk (host aligns it down;
+        # pl.multiple_of lets Mosaic prove the lane-offset store is aligned)
+        base = pl.multiple_of(base_ref[0, step * (block // SUB) + c], LANE)
+        local = sid_ref[c * SUB : (c + 1) * SUB, :] - base  # (SUB, 1)
+        onehot = (cols == local).astype(jnp.float32)  # (SUB, width)
+        sums = jnp.sum(onehot * one_minus[c * SUB : (c + 1) * SUB], axis=0, keepdims=True)
+        nhit = jnp.sum(onehot * hits[c * SUB : (c + 1) * SUB], axis=0, keepdims=True)
+        chunk = jnp.concatenate([sums, nhit], axis=0)  # (2, width)
+        site_out[:, pl.ds(base, width)] += chunk
 
     @pl.when(step == n_steps - 1)
     def _finalize():
-        counts = jnp.maximum(counts_ref[:].astype(jnp.float32), 1.0).reshape(1, -1)
-        mean_1mp = sums_scr[:] / counts
+        counts = jnp.maximum(counts_ref[:].astype(jnp.float32), 1.0)  # (1, S_pad)
+        mean_1mp = site_out[0:1, :] / counts
         site_p = 1.0 - mean_1mp**n_samples
-        mod_ratio = hits_scr[:] / counts
-        site_out[0, :] = site_p[0, :]
-        site_out[1, :] = mod_ratio[0, :]
+        mod_ratio = site_out[1:2, :] / counts
+        site_out[0:1, :] = site_p
+        site_out[1:2, :] = mod_ratio
 
 
 def fused_inference(
     fp: FusedEncoderParams,
-    features: jnp.ndarray,  # (N, 9) f32, N % block_reads == 0
+    features: jnp.ndarray,  # (N, 9) f32
     kmer_ids: jnp.ndarray,  # (N, P) i32
-    site_ids: jnp.ndarray,  # (N,) i32, padding == site_capacity
+    site_ids: jnp.ndarray,  # (N,) i32, consecutive per pack_sites; padding == site_capacity
     counts: jnp.ndarray,  # (S,) i32
     threshold: float,
     n_samples: int = 20,
     block_reads: int = DEFAULT_BLOCK_READS,
     interpret: bool = False,
+    compute_dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (p (N,), site_p (S,), mod_ratio (S,))."""
-    import functools
-
     n = features.shape[0]
     site_capacity = counts.shape[0]
-    # VMEM heuristic: the (block, site_capacity) one-hot site matrix is the
-    # dominant transient; keep it near 2 MB (block 2048 @ S=1024 OOMs Mosaic's
-    # 16 MB scoped limit once pipeline double-buffering is added).
-    while block_reads > 256 and block_reads * site_capacity * 4 > (2 << 20):
+    block_reads = max(SUB, min(block_reads, n))
+    while n % block_reads != 0 and block_reads > SUB:
         block_reads //= 2
-    block_reads = min(block_reads, n)
-    while n % block_reads != 0 and block_reads > 1:
-        block_reads //= 2
+    if n % block_reads != 0 or block_reads % SUB != 0:
+        raise ValueError(
+            f"read capacity {n} must be a multiple of a power-of-two block >= {SUB}"
+        )
     grid = (n // block_reads,)
     n_feat = features.shape[1]
     n_pos = kmer_ids.shape[1]
-    thr = jnp.full((1, 1), threshold, jnp.float32)
+    # the padded accumulator absorbs sub-chunk windows that start at the
+    # aligned-down base of the last real site, and the padding-read column
+    # at site_capacity
+    s_pad = -(-(site_capacity + SUB + LANE) // LANE) * LANE
+    thr = jnp.full((1,), threshold, jnp.float32)
     sid2d = site_ids.reshape(n, 1)
+    # 128-aligned base site id of every 512-read sub-chunk (host-side XLA op;
+    # contiguity means sites in sub-chunk c span [base[c], base[c] + SUB))
+    # one flat SMEM row ((1, n/SUB) int32 = 32 KB at the production batch) —
+    # SMEM rows are lane-padded to 128, so a (n_steps, n_sub) layout would
+    # blow the 1 MB SMEM budget at production grid sizes
+    bases = _align_down(site_ids[:: SUB].astype(jnp.int32)).reshape(1, n // SUB)
+    counts_pad = jnp.zeros((1, s_pad), counts.dtype).at[0, :site_capacity].set(counts)
 
-    kernel = functools.partial(_fused_infer_kernel, n_samples=n_samples)
+    kernel = functools.partial(
+        _fused_infer_kernel, n_samples=n_samples, compute_dtype=compute_dtype
+    )
     p, site_out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -118,7 +151,11 @@ def fused_inference(
             pl.BlockSpec((block_reads, n_feat), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_reads, n_pos), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_reads, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((site_capacity,), lambda i: (0,), memory_space=pltpu.VMEM),
+            # whole (n_steps, n_sub) base table lives in SMEM (n/SUB int32s =
+            # 32 KB at the production batch); blocked SMEM would need
+            # (8, 128)-aligned tiles
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(fp.w1x.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(fp.t_all.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(fp.b1.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -126,20 +163,25 @@ def fused_inference(
             pl.BlockSpec(fp.b2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(fp.w3.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(fp.b3.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((block_reads, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, site_capacity), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((2, site_capacity), jnp.float32),
+            jax.ShapeDtypeStruct((2, s_pad), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((1, site_capacity), jnp.float32),
-            pltpu.VMEM((1, site_capacity), jnp.float32),
-        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * (n_feat * 150 + fp.t_all.shape[0] * 150 + 150 * 32 + 32)
+            + n * 2 * (SUB + LANE),
+            bytes_accessed=n * (n_feat * 4 + n_pos * 4 + 8) + s_pad * 12,
+            transcendentals=n,
+        ),
         interpret=interpret,
-    )(features, kmer_ids, sid2d, counts, fp.w1x, fp.t_all, fp.b1, fp.w2, fp.b2, fp.w3, fp.b3, thr)
-    return p[:, 0], site_out[0], site_out[1]
+    )(
+        features, kmer_ids, sid2d, bases, counts_pad,
+        fp.w1x, fp.t_all, fp.b1, fp.w2, fp.b2, fp.w3, fp.b3, thr,
+    )
+    return p[:, 0], site_out[0, :site_capacity], site_out[1, :site_capacity]

@@ -66,9 +66,12 @@ def argparser():
     parser.add_argument("--backend", default="xla", choices=["xla", "pallas", "pallas_fused"],
                         help="per-read encoder backend (pallas = fused kernel, "
                              "production architecture only).")
-    parser.add_argument("--precision", default="f32", choices=["f32", "bf16"],
-                        help="f32 = parity mode; bf16 = fast mode (pallas "
-                             "backend; ~1e-3 probability error).")
+    parser.add_argument("--precision", default="f32", choices=["f32", "f32x3", "bf16"],
+                        help="f32 = parity mode (6-pass HIGHEST matmuls); "
+                             "f32x3 = 3-pass bf16x3 matmuls, ~f32-accurate "
+                             "(within the 1e-5 per-read golden tolerance); "
+                             "bf16 = fast mode (~1e-3 probability error). "
+                             "f32x3/bf16 need a pallas backend.")
     parser.add_argument("--resume", default=False, action="store_true",
                         help="continue an interrupted run from the last "
                              "fully-written site.")

@@ -206,13 +206,70 @@ def test_bf16_mode_within_site_tolerance(production_model, tmp_path):
     )
 
 
-def test_pallas_fused_site_capacity_guard(production_model):
-    """The fused kernel's one-hot scatter lives in VMEM and scales with
-    site_capacity; oversized capacities must fail fast with guidance."""
-    import pytest as _pytest
+def test_f32x3_mode_matches_f32(production_model, tmp_path):
+    """Precision.HIGH (bf16x3) engine mode stays within the per-read golden
+    tolerance (on the CPU interpret backend HIGH == full f32; the real
+    3-pass numerics are validated on device by tools/bench_variants.py)."""
+    import pandas as pd
 
-    from m6anet_tpu.inference.engine import make_infer_step
+    from m6anet_tpu.constants import DEFAULT_MIN_READS, PRETRAINED_CONFIGS
+    from m6anet_tpu.data.dataset import build_dataset
+    from m6anet_tpu.inference.engine import run_inference
 
-    model, _ = production_model
-    with _pytest.raises(ValueError, match="site_capacity <= 4096"):
-        make_infer_step(model, 8192, 0.03, backend="pallas_fused")
+    model, params = production_model
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    ds = build_dataset("/root/reference/m6anet/tests/data", min_reads=DEFAULT_MIN_READS,
+                       norm_path=norm, mode="Inference")
+    run_inference(model, params, ds, str(tmp_path / "f32"), read_proba_threshold=thr,
+                  use_mesh=False, backend="pallas_fused")
+    run_inference(model, params, ds, str(tmp_path / "x3"), read_proba_threshold=thr,
+                  use_mesh=False, backend="pallas_fused", precision="f32x3")
+    for name in ("data.site_proba.csv", "data.indiv_proba.csv"):
+        a = pd.read_csv(tmp_path / "f32" / name)
+        b = pd.read_csv(tmp_path / "x3" / name)
+        np.testing.assert_allclose(
+            a["probability_modified"], b["probability_modified"], atol=1e-5
+        )
+
+
+def test_fused_inference_kernel_large_site_capacity(production_model):
+    """The 2026-08-19 local-segment-reduction scatter removed the old
+    4096-site VMEM cap: the accumulator is O(site_capacity) instead of
+    O(block * site_capacity).  Exercise a capacity above the old cap,
+    including a site straddling a 512-read sub-chunk boundary."""
+    from m6anet_tpu.constants import DEFAULT_READ_THRESHOLD
+    from m6anet_tpu.ops.encoder_kernel import prepare_fused_params
+    from m6anet_tpu.ops.fused_infer_kernel import fused_inference
+
+    model, params = production_model
+    fp = prepare_fused_params(params)
+    rng = np.random.default_rng(11)
+    N, S = 2048, 8192
+    X = rng.normal(size=(N, 9)).astype(np.float32)
+    K = rng.integers(0, 66, size=(N, 3)).astype(np.int32)
+    site_ids = np.full(N, S, np.int32)
+    counts = np.zeros(S, np.int32)
+    cursor = 0
+    s = 0
+    while True:
+        n = int(rng.integers(5, 60))
+        if cursor + n > N - 30:  # leave a padding tail
+            break
+        site_ids[cursor : cursor + n] = s
+        counts[s] = n
+        cursor += n
+        s += 1
+
+    p, sp, mr = fused_inference(
+        fp, jnp.asarray(X), jnp.asarray(K), jnp.asarray(site_ids), jnp.asarray(counts),
+        DEFAULT_READ_THRESHOLD, block_reads=1024, interpret=True,
+    )
+    p_ref = np.asarray(model.per_read_probability(params, {"X": jnp.asarray(X), "kmer": jnp.asarray(K)}))
+    sp_ref = np.asarray(
+        site_ops.site_probability_exact(jnp.asarray(p_ref), jnp.asarray(site_ids), jnp.asarray(counts), S, 20)
+    )
+    mr_ref = np.asarray(
+        site_ops.mod_ratio_exact(jnp.asarray(p_ref), jnp.asarray(site_ids), jnp.asarray(counts), S, DEFAULT_READ_THRESHOLD)
+    )
+    np.testing.assert_allclose(np.asarray(sp)[:s], sp_ref[:s], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(mr)[:s], mr_ref[:s])
