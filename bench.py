@@ -69,12 +69,18 @@ def main():
 
     # Big batches keep the device busy per dispatch (~160 MB inputs); on the
     # CPU backend (no TPU attached) use a small shape so the bench stays
-    # quick.  Backend: xla measures fastest under execution-verified timing
-    # (69.5M reads/s vs 43.4M for the pallas kernel at this shape).
+    # quick.  Backend: the fused Pallas kernel (2026-08-19 local
+    # segment-reduction scatter) at precision f32x3 — the fastest
+    # configuration that passes the reference's golden contract on device
+    # (demo CLI run on the TPU: indiv max|diff| 8.0e-6 <= 1e-5, site 3.8e-3
+    # <= 1e-2, mod_ratio 4.6e-8; see PERFORMANCE.md).  Full-parity modes for
+    # comparison: fused f32 HIGHEST 1.16M sites/s, XLA f32 HIGHEST 1.157M.
     if jax.default_backend() == "cpu":
         site_capacity, read_capacity, n_chain = 1024, 65536, 2
+        backend, precision = "xla", "f32"  # pallas interpret mode is slow on CPU
     else:
         site_capacity, read_capacity, n_chain = 65536, 4194304, 8
+        backend, precision = "pallas_fused", "f32x3"
 
     with open(DEFAULT_MODEL_CONFIG, "rb") as f:
         config = tomllib.load(f)
@@ -88,7 +94,9 @@ def main():
     global_ids = jnp.arange(site_capacity, dtype=jnp.int32)
     base_key = jnp.zeros((2,), jnp.uint32)
 
-    step = make_infer_step(model, site_capacity, DEFAULT_READ_THRESHOLD, backend="xla")
+    step = make_infer_step(
+        model, site_capacity, DEFAULT_READ_THRESHOLD, backend=backend, precision=precision
+    )
 
     @functools.partial(jax.jit, static_argnums=(8,))
     def chained(params, feats, kmers, site_ids, offsets, counts, gids, key, n):
@@ -106,14 +114,15 @@ def main():
     warm = chained(params, *dev, global_ids, base_key, n_chain)
     np.asarray(warm)  # device->host fetch: waits for real execution
 
-    best = float("inf")
+    times = []
     for _ in range(3):
         t0 = time.perf_counter()
         out = chained(params, *dev, global_ids, base_key, n_chain)
         np.asarray(out)  # (n_chain,) floats — tiny, but forces completion
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
 
-    sites_per_sec = n_chain * n_sites / best
+    sites_per_sec = n_chain * n_sites / med
     print(
         json.dumps(
             {
@@ -121,6 +130,9 @@ def main():
                 "value": round(sites_per_sec, 1),
                 "unit": "sites/s",
                 "vs_baseline": round(sites_per_sec / BASELINE_SITES_PER_SEC, 1),
+                "config": f"{backend}/{precision}, median of 3 chains, "
+                          "synthetic HEK293T-shaped batch",
+                "best_value": round(n_chain * n_sites / min(times), 1),
             }
         )
     )

@@ -108,9 +108,26 @@ def make_parity_dot(compute_dtype):
     with f32 accumulation — one MXU pass per matmul, at ~1e-3 probability
     error (far inside the site tolerance)."""
     if compute_dtype == "f32x3":
-        precision = jax.lax.Precision.HIGH
-        cast = None
-    elif compute_dtype == jnp.float32:
+        # Mosaic has no Precision.HIGH lowering, so build bf16x3 by hand:
+        # split each operand into a bf16 high part + bf16 residual and take
+        # the three significant products (the hi*hi term plus both cross
+        # terms; the lo*lo term is ~2^-32 relative and dropped) — 3 MXU
+        # passes instead of HIGHEST's 6, error ~2^-16 relative.
+        def dot(a, b):
+            bf = jnp.bfloat16
+            a_hi = a.astype(bf)
+            b_hi = b.astype(bf)
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(bf)
+            b_lo = (b - b_hi.astype(jnp.float32)).astype(bf)
+
+            def d(x, y):
+                return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+            return (d(a_lo, b_hi) + d(a_hi, b_lo)) + d(a_hi, b_hi)
+
+        return dot
+
+    if compute_dtype == jnp.float32:
         precision = jax.lax.Precision.HIGHEST
         cast = None
     else:

@@ -44,9 +44,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .encoder_kernel import FusedEncoderParams, encoder_body, make_parity_dot
 
 DEFAULT_BLOCK_READS = 2048
-# sub-chunk size for the local segment reduction; the one-hot transient is
-# (SUB, SUB + LANE) f32 = 1.6 MB
-SUB = 512
+# sub-chunk size for the local segment reduction.  SUB == LANE makes the
+# (SUB, SUB + LANE) one-hot a slim (128, 256) tile: a 128-read window of
+# consecutive site ids spans at most 128 sites, so after aligning the base
+# down to a lane boundary every local id provably lands in [0, 256) — no
+# assumption about reads-per-site needed — and the VPU work per read is
+# O(256) instead of O(site_capacity) (the pre-2026-08-19 kernel) or O(640)
+# (the first rework).
+SUB = 128
 LANE = 128
 
 

@@ -87,8 +87,12 @@ def site_probability_mc(
     Iterations are processed in fixed chunks under a ``lax.scan`` so peak
     memory is O(sites * chunk * n_samples) regardless of ``n_iters`` (at
     8192-site batches the unchunked index tensor alone would be >600 MB).
+    The chunk adapts to the site count so the transient index+gather
+    buffers stay near 128 MB — a 65,536-site batch at chunk 100 allocates
+    >1 GB and crashed this container's relay-virtualized chip.
     """
-    chunk = min(n_iters, 100)
+    n_sites_cap = int(offsets.shape[0])
+    chunk = max(1, min(n_iters, 100, (128 << 20) // max(1, n_sites_cap * n_samples * 8)))
     n_chunks, rem = divmod(n_iters, chunk)
 
     def sample_chunk(key, offset, count, size):

@@ -69,7 +69,9 @@ def main():
     site_capacity, read_capacity = 65536, 4194304
     n_chain = 8
     if variant.startswith("mc"):
-        n_chain = 2
+        # MC-1000 resamples ~310x the real read volume; smaller batches keep
+        # the per-chunk gather buffers inside this relay slice's memory
+        site_capacity, read_capacity, n_chain = 8192, 524288, 2
 
     with open(DEFAULT_MODEL_CONFIG, "rb") as f:
         config = tomllib.load(f)
