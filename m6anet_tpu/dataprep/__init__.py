@@ -1,2 +1,2 @@
 from . import combine, indexer, runner, windowing  # noqa: F401
-from .runner import run_dataprep  # noqa: F401
+from .runner import is_successful, read_last_line, run_dataprep  # noqa: F401

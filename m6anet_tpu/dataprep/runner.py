@@ -28,6 +28,42 @@ from .windowing import window_read
 # float64, read indices, pre-rendered data.json line (bytes) or None)
 SiteRecord = Tuple[int, str, np.ndarray, np.ndarray, Optional[bytes]]
 
+# data.log completion sentinel — the exact trailer the reference's
+# is_successful() looks for (reference: m6anet/utils/helper.py:103-104);
+# unlike the reference, run_dataprep actually writes it on success.
+SUCCESS_TRAILER = "--- SUCCESSFULLY FINISHED ---\n"
+
+
+def read_last_line(filepath: str) -> Optional[bytes]:
+    """Last line of a file without reading it all (None if missing/empty).
+
+    Reference: m6anet/utils/helper.py:90-101."""
+    if not os.path.exists(filepath):
+        return None
+    with open(filepath, "rb") as f:
+        chunk = b""
+        f.seek(0, os.SEEK_END)
+        end = f.tell()
+        if end == 0:
+            return None
+        step = 4096
+        while True:
+            start = max(0, end - step)
+            f.seek(start)
+            chunk = f.read(end - start)
+            # ignore the file's trailing newline when splitting
+            body = chunk[:-1] if chunk.endswith(b"\n") else chunk
+            nl = body.rfind(b"\n")
+            if nl != -1 or start == 0:
+                return chunk[nl + 1 :] if nl != -1 else chunk
+            step *= 4
+
+
+def is_successful(out_dir: str) -> bool:
+    """True if ``out_dir``'s data.log carries the completion sentinel, i.e.
+    dataprep ran to the end rather than being killed mid-write."""
+    return read_last_line(os.path.join(out_dir, "data.log")) == SUCCESS_TRAILER.encode()
+
 
 def featurize_transcript(
     tx_id: str,
@@ -475,6 +511,13 @@ def _run_dataprep(
                 while pending:
                     for tx_id, records in pending.popleft().result():
                         write_result(tx_id, records)
+
+        # completion sentinel: the reference defines is_successful()/
+        # read_last_line() against this exact trailer but nothing there ever
+        # writes it (reference: m6anet/utils/helper.py:90-104 — vestigial);
+        # here a successful run really ends data.log with it, so downstream
+        # tooling can distinguish a finished dataprep from a killed one.
+        f_log.write(SUCCESS_TRAILER)
 
     if columnar_writer is not None:
         columnar_writer.finalize()

@@ -43,7 +43,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .encoder_kernel import FusedEncoderParams, encoder_body, make_parity_dot
 
-DEFAULT_BLOCK_READS = 2048
+# 2048-read blocks exceed Mosaic's 16 MB scoped-VMEM budget once the
+# pipeline double-buffers the lane-padded narrow inputs (measured 17.2 MB);
+# 1024 fits with room and benches identically
+DEFAULT_BLOCK_READS = 1024
 # sub-chunk size for the local segment reduction.  SUB == LANE makes the
 # (SUB, SUB + LANE) one-hot a slim (128, 256) tile: a 128-read window of
 # consecutive site ids spans at most 128 sites, so after aligning the base

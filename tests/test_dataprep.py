@@ -441,6 +441,37 @@ def test_dataprep_header_only_input(tmp_path):
     assert os.path.getsize(out / "data.json") == 0
 
 
+def test_dataprep_completion_sentinel(tmp_path):
+    """A finished dataprep ends data.log with the reference's success
+    trailer (reference: m6anet/utils/helper.py:90-104 defines the check but
+    nothing there writes the trailer; here run_dataprep does), so
+    is_successful() distinguishes complete runs from killed ones."""
+    from m6anet_tpu.dataprep import is_successful, read_last_line, run_dataprep
+    from m6anet_tpu.dataprep.runner import SUCCESS_TRAILER
+
+    path = tmp_path / "empty.txt"
+    with open(path, "w") as f:
+        f.write("contig\tposition\treference_kmer\tread_index\tstrand\tevent_index\t"
+                "event_level_mean\tevent_stdv\tevent_length\tmodel_kmer\tmodel_mean\t"
+                "model_stdv\tstandardized_level\tstart_idx\tend_idx\n")
+    out = tmp_path / "out"
+    run_dataprep(str(path), str(out), n_processes=1, readcount_min=1,
+                 readcount_max=1000, min_segment_count=1, n_neighbors=1,
+                 output_format="json")
+    assert is_successful(str(out))
+    assert read_last_line(str(out / "data.log")) == SUCCESS_TRAILER.encode()
+
+    # simulate a killed run: truncate the trailer away
+    log = out / "data.log"
+    log.write_bytes(log.read_bytes()[: -len(SUCCESS_TRAILER)])
+    assert not is_successful(str(out))
+    # and a multi-line log whose last line is mid-write
+    with open(log, "ab") as f:
+        f.write(b"ENST0000001: Data preparation ... Do")
+    assert not is_successful(str(out))
+    assert not is_successful(str(tmp_path / "nonexistent"))
+
+
 def test_native_index_loader_crlf_and_malformed(tmp_path):
     """The native index loader strips CRLF (parity with pandas universal
     newlines) and rejects non-digit bytes instead of corrupting offsets."""
