@@ -73,12 +73,18 @@ def prepare_fused_params(params: Dict, n_features: int = 9) -> FusedEncoderParam
     )
 
 
-def encoder_body(dot, x_ref, k_ref, w1x_ref, t_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref):
+def encoder_body(dot, x_ref, k_ref, w1x_ref, t_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                 onehot_dot=None):
     """Shared kernel-body math: embedding one-hot + folded encoder + sigmoid.
 
     Used by both the encoder-only kernel below and the single-kernel
     inference step (fused_infer_kernel.py); ``dot`` injects the precision
-    policy.  Returns the per-read probability block, shape (block, 1)."""
+    policy and ``onehot_dot`` (default: ``dot``) the cheaper policy for the
+    embedding contraction, whose LHS is a 0/1 matrix and therefore exactly
+    representable in bfloat16.  Returns the per-read probability block,
+    shape (block, 1)."""
+    if onehot_dot is None:
+        onehot_dot = dot
     vocab_total = t_ref.shape[0]  # (2w+1) * 66
     n_positions = k_ref.shape[1]
     vocab = vocab_total // n_positions
@@ -92,11 +98,34 @@ def encoder_body(dot, x_ref, k_ref, w1x_ref, t_ref, b1_ref, w2_ref, b2_ref, w3_r
     for j in range(n_positions):
         onehot += (cols == flat_ids[:, j][:, None]).astype(jnp.float32)
 
-    h = dot(x_ref[:], w1x_ref[:]) + dot(onehot, t_ref[:]) + b1_ref[:]
+    h = dot(x_ref[:], w1x_ref[:]) + onehot_dot(onehot, t_ref[:]) + b1_ref[:]
     h = jnp.maximum(h, 0.0)
     h = jnp.maximum(dot(h, w2_ref[:]) + b2_ref[:], 0.0)
     z = dot(h, w3_ref[:]) + b3_ref[:]
     return jax.nn.sigmoid(z)
+
+
+def make_onehot_dot(compute_dtype):
+    """Precision policy for the embedding contraction: its LHS is a 0/1
+    one-hot, exact in bfloat16, so the bf16x3 scheme only needs the two
+    RHS-split products (a@b_hi + a@b_lo) — 2 MXU passes with NO additional
+    error versus the 3-pass version.  Other modes fall back to the general
+    policy."""
+    if compute_dtype != "f32x3":
+        return make_parity_dot(compute_dtype)
+
+    def dot(a, b):
+        bf = jnp.bfloat16
+        a16 = a.astype(bf)  # exact: entries are 0/1
+        b_hi = b.astype(bf)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(bf)
+
+        def d(x, y):
+            return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+        return d(a16, b_lo) + d(a16, b_hi)
+
+    return dot
 
 
 def make_parity_dot(compute_dtype):
@@ -145,9 +174,11 @@ def make_parity_dot(compute_dtype):
 
 def _make_encoder_kernel(compute_dtype):
     dot = make_parity_dot(compute_dtype)
+    onehot_dot = make_onehot_dot(compute_dtype)
 
     def kernel(x_ref, k_ref, w1x_ref, t_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref):
-        out_ref[:] = encoder_body(dot, x_ref, k_ref, w1x_ref, t_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref)
+        out_ref[:] = encoder_body(dot, x_ref, k_ref, w1x_ref, t_ref, b1_ref, w2_ref,
+                                  b2_ref, w3_ref, b3_ref, onehot_dot=onehot_dot)
 
     return kernel
 

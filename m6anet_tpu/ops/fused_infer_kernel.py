@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .encoder_kernel import FusedEncoderParams, encoder_body, make_parity_dot
+from .encoder_kernel import FusedEncoderParams, encoder_body, make_onehot_dot, make_parity_dot
 
 # 2048-read blocks exceed Mosaic's 16 MB scoped-VMEM budget once the
 # pipeline double-buffers the lane-padded narrow inputs (measured 17.2 MB);
@@ -66,7 +66,7 @@ def _fused_infer_kernel(
     x_ref, k_ref, sid_ref, base_ref, counts_ref,
     w1x_ref, t_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, thr_ref,
     p_out, site_out,
-    *, n_samples: int, compute_dtype,
+    *, n_samples: int, compute_dtype, probe=None,
 ):
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
@@ -77,11 +77,26 @@ def _fused_infer_kernel(
         site_out[:] = jnp.zeros_like(site_out)
 
     # ---- encoder: shared body with the encoder-only kernel ----
-    p = encoder_body(
-        make_parity_dot(compute_dtype),
-        x_ref, k_ref, w1x_ref, t_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-    )  # (block, 1)
+    if probe == "noembed":  # perf probe only: skip the one-hot embedding path
+        dot = make_parity_dot(compute_dtype)
+        h = dot(x_ref[:], w1x_ref[:]) + b1_ref[:]
+        h = jnp.maximum(h, 0.0)
+        h = jnp.maximum(dot(h, w2_ref[:]) + b2_ref[:], 0.0)
+        p = jax.nn.sigmoid(dot(h, w3_ref[:]) + b3_ref[:])
+    else:
+        p = encoder_body(
+            make_parity_dot(compute_dtype),
+            x_ref, k_ref, w1x_ref, t_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+            onehot_dot=make_onehot_dot(compute_dtype),
+        )  # (block, 1)
     p_out[:] = p
+
+    if probe == "nosite":  # perf probe only: skip the site reduction
+        @pl.when(step == n_steps - 1)
+        def _fake_finalize():
+            site_out[:] = jnp.zeros_like(site_out) + p[0, 0]
+
+        return
 
     # ---- site accumulation: local contiguous segment reduction (VPU) ----
     thr = thr_ref[0]
@@ -121,6 +136,7 @@ def fused_inference(
     block_reads: int = DEFAULT_BLOCK_READS,
     interpret: bool = False,
     compute_dtype=jnp.float32,
+    probe: str | None = None,  # perf instrumentation: "nosite" / "noembed"
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (p (N,), site_p (S,), mod_ratio (S,))."""
     n = features.shape[0]
@@ -150,7 +166,8 @@ def fused_inference(
     counts_pad = jnp.zeros((1, s_pad), counts.dtype).at[0, :site_capacity].set(counts)
 
     kernel = functools.partial(
-        _fused_infer_kernel, n_samples=n_samples, compute_dtype=compute_dtype
+        _fused_infer_kernel, n_samples=n_samples, compute_dtype=compute_dtype,
+        probe=probe,
     )
     p, site_out = pl.pallas_call(
         kernel,
@@ -180,6 +197,12 @@ def fused_inference(
         out_shape=(
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
             jax.ShapeDtypeStruct((2, s_pad), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # blocks >= 2048 exceed Mosaic's default 16 MB scoped-VMEM budget
+            # (double-buffered lane-padded inputs); raise it only then so
+            # smaller blocks keep the conservative default
+            vmem_limit_bytes=(28 << 20) if block_reads >= 2048 else None,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * (n_feat * 150 + fp.t_all.shape[0] * 150 + 150 * 32 + 32)

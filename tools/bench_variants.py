@@ -100,11 +100,16 @@ def main():
             if tok.startswith("b") and tok[1:].isdigit():
                 block = int(tok[1:])
 
+        probe = None
+        for tok in ("nosite", "noembed"):
+            if tok in variant:
+                probe = tok
+
         def step(params, feats, kmers, sids, offs, cnts):
             fp = prepare_fused_params(params)
             p, sp, mr = fused_inference(
                 fp, feats, kmers, sids, cnts, thr, 20, block_reads=block,
-                compute_dtype=dt,
+                compute_dtype=dt, probe=probe,
             )
             return p, sp, mr
 
@@ -138,6 +143,59 @@ def main():
             sp = site_ops.site_probability_mc(p, offs, cnts, keys, n_iters=n_iters, n_samples=20)
             mr = site_ops.mod_ratio_exact(p, sids, cnts, site_capacity, thr)
             return p, sp, mr
+
+    elif variant.startswith("train"):
+        # chained training steps: params of step i feed step i+1, so the
+        # scan is inherently serialized on device — same integrity property
+        # as the inference chains.
+        import jax.random as jrandom
+
+        from m6anet_tpu.train.loop import make_optimizer, make_train_step
+        from m6anet_tpu.train.losses import binary_cross_entropy_loss
+
+        n_train_sites = 4096
+        rng = np.random.default_rng(3)
+        tbatch = {
+            "X": jnp.asarray(rng.normal(size=(n_train_sites, 20, 9)), jnp.float32),
+            "kmer": jnp.asarray(rng.integers(0, 66, size=(n_train_sites, 20, 3)), jnp.int32),
+            "y": jnp.asarray(rng.integers(0, 2, size=(n_train_sites,)), jnp.float32),
+        }
+        optimizer = make_optimizer(lr=1e-4, weight_decay=1e-5, clip_grad=5.0)
+        tstep = make_train_step(model, binary_cross_entropy_loss, optimizer)
+        opt_state = optimizer.init(params)
+        n_chain = 16
+
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def chained_train(params, opt_state, key, n):
+            def body(carry, i):
+                p, s = carry
+                np_, ns_, loss, _ = tstep(p, s, tbatch, jrandom.fold_in(key, i))
+                return (np_, ns_), loss
+
+            (_, _), losses = jax.lax.scan(body, (params, opt_state), jnp.arange(n))
+            return losses
+
+        print(f"# {variant}: compiling...", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        np.asarray(chained_train(params, opt_state, jax.random.PRNGKey(0), n_chain))
+        compile_s = time.perf_counter() - t0
+        print(f"# {variant}: warm done at {compile_s:.1f}s", file=sys.stderr, flush=True)
+        times = []
+        for _ in range(n_timed):
+            t0 = time.perf_counter()
+            np.asarray(chained_train(params, opt_state, jax.random.PRNGKey(0), n_chain))
+            times.append(time.perf_counter() - t0)
+        med = float(np.median(times))
+        print(json.dumps({
+            "variant": variant,
+            "train_sites_per_sec": round(n_chain * n_train_sites / med, 1),
+            "ms_per_step": round(1000 * med / n_chain, 3),
+            "median_s": round(med, 4), "best_s": round(min(times), 4),
+            "compile_s": round(compile_s, 1), "n_chain": n_chain,
+            "n_sites": n_train_sites,
+            "times": [round(t, 4) for t in times],
+        }), flush=True)
+        return
 
     elif variant.startswith("xla"):
 
