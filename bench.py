@@ -91,33 +91,32 @@ def main():
         read_capacity=read_capacity, site_capacity=site_capacity
     )
     dev = tuple(jnp.asarray(a) for a in (feats, kmers, site_ids, offsets, counts))
-    global_ids = jnp.arange(site_capacity, dtype=jnp.int32)
     base_key = jnp.zeros((2,), jnp.uint32)
 
     step = make_infer_step(
         model, site_capacity, DEFAULT_READ_THRESHOLD, backend=backend, precision=precision
     )
 
-    @functools.partial(jax.jit, static_argnums=(8,))
-    def chained(params, feats, kmers, site_ids, offsets, counts, gids, key, n):
+    @functools.partial(jax.jit, static_argnums=(7,))
+    def chained(params, feats, kmers, site_ids, offsets, counts, key, n):
         """n serialized full inference steps: iteration i+1's input depends on
         iteration i's output, so enqueue-acknowledging runtimes cannot report
         completion before the work is actually done."""
 
         def body(carry, _):
-            p, sp, mr = step(params, feats + carry, kmers, site_ids, offsets, counts, gids, key)
+            p, sp, mr = step(params, feats + carry, kmers, site_ids, offsets, counts, key)
             return sp[0] * f32(1e-9), f32(sp[0])
 
         _, outs = jax.lax.scan(body, f32(0.0), None, length=n)
         return outs
 
-    warm = chained(params, *dev, global_ids, base_key, n_chain)
+    warm = chained(params, *dev, base_key, n_chain)
     np.asarray(warm)  # device->host fetch: waits for real execution
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = chained(params, *dev, global_ids, base_key, n_chain)
+        out = chained(params, *dev, base_key, n_chain)
         np.asarray(out)  # (n_chain,) floats — tiny, but forces completion
         times.append(time.perf_counter() - t0)
     med = float(np.median(times))

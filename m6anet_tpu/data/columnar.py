@@ -225,6 +225,13 @@ class ColumnarSiteDataset:
     def __len__(self) -> int:
         return len(self.site_index)
 
+    @property
+    def max_site_reads(self) -> int:
+        if len(self.site_index) == 0:
+            return 0
+        counts = np.diff(self.offsets)
+        return int(counts[self.site_index].max())
+
     def _site_norm(self, seq: str):
         return _cached_site_norm(self.norm_dict, self._norm_cache, seq, self.n_positions)
 
@@ -474,6 +481,17 @@ class ReplicateColumnarDataset:
 
     def __len__(self) -> int:
         return len(self.entries)
+
+    @property
+    def max_site_reads(self) -> int:
+        best = 0
+        for members in self.entries:
+            total = sum(
+                int(self.reps[r].offsets[raw + 1] - self.reps[r].offsets[raw])
+                for r, raw in members
+            )
+            best = max(best, total)
+        return best
 
     def get_site(self, idx: int) -> Site:
         members = [(r, self.reps[r].get_site(raw)) for r, raw in self.entries[idx]]

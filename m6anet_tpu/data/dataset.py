@@ -203,6 +203,13 @@ class SiteDataset:
     def __len__(self) -> int:
         return len(self.data_info)
 
+    @property
+    def max_site_reads(self) -> int:
+        """Largest per-site read count (capacity validation happens at
+        dataset-build time, not mid-run — the reference streams any site
+        size, reference: m6anet/utils/data_utils.py:226-229)."""
+        return int(self.data_info["n_reads"].max()) if len(self.data_info) else 0
+
     def _site_from_payload(self, tx_id, tx_pos, seq, raw_features, label=None) -> Site:
         read_ids = raw_features[:, -1].astype(np.int64)
         features = raw_features[:, self.indices]
@@ -531,6 +538,10 @@ class ConcatSiteDataset:
 
     def __len__(self) -> int:
         return int(self._offsets[-1])
+
+    @property
+    def max_site_reads(self) -> int:
+        return max((p.max_site_reads for p in self.parts), default=0)
 
     def get_site(self, idx: int) -> Site:
         part = int(np.searchsorted(self._offsets, idx, side="right")) - 1

@@ -1,4 +1,4 @@
-"""Deprecated `m6anet-inference` console shim
+"""Deprecated `m6anet-run_inference` console shim (reference registers this exact name, setup.py:50-53)
 (reference: m6anet/deprecated/inference.py)."""
 import warnings
 
@@ -8,7 +8,7 @@ from ..scripts.inference import main as _main
 
 def main(args=None):
     warnings.warn(
-        "m6anet-inference is deprecated and will be removed in a future version; "
+        "m6anet-run_inference is deprecated and will be removed in a future version; "
         "use `m6anet_tpu inference` instead",
         DeprecationWarning,
     )

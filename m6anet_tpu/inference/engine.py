@@ -37,6 +37,58 @@ SITE_HEADER = "transcript_id,transcript_position,n_reads,probability_modified,km
 INDIV_HEADER = "transcript_id,transcript_position,read_index,probability_modified\n"
 
 
+def fused_backend_supported(model: MILModel) -> bool:
+    """True when the loaded architecture matches the fused kernels' layout:
+    Deaggregate -> KmerMultipleEmbedding -> Concat -> Linear(relu, BN
+    optional) -> Linear(relu, no BN) -> SigmoidProdPooling — the production
+    MILModel all four released models share (SURVEY.md §3.4; reference
+    config m6anet/model/configs/model_configs/m6anet.toml).  Any other
+    config TOML must run on the XLA backend."""
+    import jax.nn
+
+    names = [type(blk).__name__ for _, blk in model.blocks]
+    if names != [
+        "DeaggregateNanopolish", "KmerMultipleEmbedding", "ConcatenateFeatures",
+        "Linear", "Linear", "SigmoidProdPooling",
+    ]:
+        return False
+    l1, l2 = model.blocks[3][1], model.blocks[4][1]
+    return (
+        l1.activation is jax.nn.relu
+        and l2.activation is jax.nn.relu
+        and not l2.batch_norm
+    )
+
+
+def resolve_backend(
+    model: MILModel, backend: str, precision: str, log=None
+) -> Tuple[str, str]:
+    """Resolve 'auto' backend/precision to the fastest configuration that
+    passes the golden contract on the current platform.
+
+    On a TPU with a production-architecture model that is the fused Pallas
+    kernel at f32x3 (3-pass bf16x3 matmuls, within the 1e-5 per-read golden
+    tolerance — PERFORMANCE.md device table); anywhere else, XLA at full
+    f32 parity.  Explicit non-XLA choices are validated here so users get a
+    CLI-time error instead of a kernel-prep KeyError.
+    """
+    fused_ok = fused_backend_supported(model)
+    on_tpu = jax.default_backend() != "cpu"
+    if backend == "auto":
+        backend = "pallas_fused" if (on_tpu and fused_ok) else "xla"
+    elif backend != "xla" and not fused_ok:
+        raise ValueError(
+            f"backend {backend!r} supports only the production architecture "
+            "(the packaged m6anet.toml config); this model config requires "
+            "--backend xla"
+        )
+    if precision == "auto":
+        precision = "f32x3" if (backend != "xla" and on_tpu) else "f32"
+    if log is not None:
+        log.info("inference path: backend=%s precision=%s", backend, precision)
+    return backend, precision
+
+
 def make_infer_step(
     model: MILModel,
     site_capacity: int,
@@ -46,6 +98,7 @@ def make_infer_step(
     n_iterations: int = 1000,
     backend: str = "xla",
     precision: str = "f32",
+    mc_read_cap: int = 1024,
 ):
     """Build the jitted per-batch device function.
 
@@ -64,8 +117,6 @@ def make_infer_step(
         raise ValueError(
             f"backend must be 'xla', 'pallas' or 'pallas_fused', got {backend!r}"
         )
-    if backend == "pallas_fused" and method != "exact":
-        raise ValueError("backend 'pallas_fused' supports only the exact site method")
     if precision not in ("f32", "f32x3", "bf16"):
         raise ValueError(f"precision must be 'f32', 'f32x3' or 'bf16', got {precision!r}")
     if precision != "f32" and backend == "xla":
@@ -79,16 +130,22 @@ def make_infer_step(
 
         from ..ops.encoder_kernel import prepare_fused_params
         from ..ops.fused_infer_kernel import fused_inference
+        from ..ops.mc_kernel import site_probability_mc_pallas
 
         fused_dtype = {"bf16": jnp.bfloat16, "f32x3": "f32x3"}.get(precision, jnp.float32)
 
         @partial(jax.jit, donate_argnums=())
-        def fused_step(params, features, kmer_ids, site_ids, offsets, counts, global_ids, base_key):
+        def fused_step(params, features, kmer_ids, site_ids, offsets, counts, base_key):
             fp = prepare_fused_params(params)
             p, site_p, mod_ratio = fused_inference(
                 fp, features, kmer_ids, site_ids, counts, threshold, n_samples,
                 interpret=interpret, compute_dtype=fused_dtype,
             )
+            if method == "mc":  # replace the exact site estimate with MC
+                site_p = site_probability_mc_pallas(
+                    p, offsets, counts, base_key, n_iters=n_iterations,
+                    n_samples=n_samples, read_cap=mc_read_cap, interpret=interpret,
+                )
             return p, site_p, mod_ratio
 
         return fused_step
@@ -111,20 +168,26 @@ def make_infer_step(
         def per_read_prob(params, features, kmer_ids):
             return model.per_read_probability(params, {"X": features, "kmer": kmer_ids})
 
-    # One single jitted program per batch: even the MC per-site keys are
-    # derived in-graph from (base_key, global site ids).  Never dispatch a
-    # second eager device program alongside the step — on the axon TPU
-    # platform an eager computation racing a jitted dispatch can deadlock the
-    # execution queue (observed: make_site_keys + step back-to-back hangs).
+    # One single jitted program per batch: even the MC draws are derived
+    # in-graph from base_key.  Never dispatch a second eager device program
+    # alongside the step — on the axon TPU platform an eager computation
+    # racing a jitted dispatch can deadlock the execution queue.
     @partial(jax.jit, donate_argnums=())
-    def step(params, features, kmer_ids, site_ids, offsets, counts, global_ids, base_key):
+    def step(params, features, kmer_ids, site_ids, offsets, counts, base_key):
         p = per_read_prob(params, features, kmer_ids)
         if method == "exact":
             site_p = site_ops.site_probability_exact(p, site_ids, counts, site_capacity, n_samples)
+        elif backend == "pallas":
+            # the count-keyed MXU resampling kernel (see ops/mc_kernel.py)
+            from ..ops.mc_kernel import site_probability_mc_pallas
+
+            site_p = site_probability_mc_pallas(
+                p, offsets, counts, base_key, n_iters=n_iterations,
+                n_samples=n_samples, read_cap=mc_read_cap, interpret=interpret,
+            )
         else:
-            site_keys = site_ops.make_site_keys(base_key, global_ids)
             site_p = site_ops.site_probability_mc(
-                p, offsets, counts, site_keys, n_iters=n_iterations, n_samples=n_samples
+                p, offsets, counts, base_key, n_iters=n_iterations, n_samples=n_samples
             )
         mod_ratio = site_ops.mod_ratio_exact(p, site_ids, counts, site_capacity, threshold)
         return p, site_p, mod_ratio
@@ -193,8 +256,8 @@ def run_inference(
     site_capacity: int = DEFAULT_SITE_CAPACITY,
     use_mesh: bool = True,
     pipeline_depth: int = 2,
-    backend: str = "xla",
-    precision: str = "f32",
+    backend: str = "auto",
+    precision: str = "auto",
     resume: bool = False,
     host_shard: Optional[Tuple[int, int]] = None,
     n_threads: int = 1,
@@ -209,12 +272,13 @@ def run_inference(
     ``host_shard=(host_id, n_hosts)`` is the multi-host mode: this process
     scores its contiguous slice of the global site index and writes
     ``*.csv.shard{host_id}`` files; merge with :func:`merge_host_shards`.
-    Per-site MC keys are derived from the dataset-global site index, so
+    MC draws depend only on (seed, site read count, the site's reads), so
     results are invariant to the shard layout.
     """
     os.makedirs(out_dir, exist_ok=True)
     timer = StageTimer()
     log = get_logger("m6anet_tpu.inference")
+    backend, precision = resolve_backend(model, backend, precision, log=log)
 
     shard_suffix = ""
     global_offset = 0
@@ -228,8 +292,11 @@ def run_inference(
         log.info("host %d/%d scoring sites [%d, %d)", host_id, n_hosts, lo, hi)
 
     mesh = None
-    if use_mesh and len(jax.devices()) > 1:
-        mesh = mesh_lib.make_mesh()
+    if use_mesh and len(jax.local_devices()) > 1:
+        # local devices only: in multi-process mode each process scores its
+        # own host shard independently (each host feeds different batches, so
+        # a global mesh would device_put mismatched values across processes)
+        mesh = mesh_lib.make_mesh(jax.local_devices())
         # pad capacities to device-divisible sizes
         n_dev = len(mesh.devices.flat)
         read_capacity = -(-read_capacity // n_dev) * n_dev
@@ -237,9 +304,24 @@ def run_inference(
         read_shard = mesh_lib.read_sharding(mesh)
         repl = mesh_lib.replicated(mesh)
 
+    # capacity validation at run setup, not mid-run from the packer (the
+    # reference streams any site size — m6anet/utils/data_utils.py:226-229 —
+    # so oversized sites must fail early with the flag to change)
+    max_reads = getattr(dataset, "max_site_reads", None)
+    if max_reads is not None and max_reads > read_capacity:
+        raise ValueError(
+            f"the dataset has a site with {max_reads} reads, above "
+            f"read_capacity ({read_capacity}); raise --read_capacity, or cap "
+            "sites at dataprep time with --readcount_max"
+        )
+
+    # the MC kernel's per-site read window; batches are validated against it
+    mc_read_cap = 1024
+    if method == "mc" and backend != "xla" and max_reads is not None:
+        mc_read_cap = max(mc_read_cap, -(-int(max_reads) // 128) * 128)
     step = make_infer_step(
         model, site_capacity, read_proba_threshold, n_samples, method, num_iterations,
-        backend, precision,
+        backend, precision, mc_read_cap=mc_read_cap,
     )
     # raw threefry key data built on host (no device program): PRNGKey(seed)
     # is (hi, lo) = (seed >> 32, seed & 0xffffffff)
@@ -314,10 +396,16 @@ def run_inference(
         batches = threaded_iter(packed, depth=pipeline_depth + 1)
         for batch in _timed_iter(timer, "featurize+pack", batches):
             with timer.stage("dispatch"):
-                global_ids = batch.global_ids + n_done + global_offset
+                if method == "mc" and backend != "xla" and batch.counts.max(initial=0) > mc_read_cap:
+                    big = int(batch.counts.max())
+                    raise ValueError(
+                        f"a site has {big} reads, above the MC kernel's "
+                        f"read window ({mc_read_cap}); rerun dataprep with "
+                        "--readcount_max <= the window, or use --backend xla"
+                    )
                 args = (
                     batch.features, batch.kmer_ids, batch.site_ids,
-                    batch.offsets, batch.counts, global_ids,
+                    batch.offsets, batch.counts,
                 )
                 if mesh is not None:
                     args = (
@@ -326,7 +414,6 @@ def run_inference(
                         jax.device_put(batch.site_ids, read_shard),
                         jax.device_put(batch.offsets, repl),
                         jax.device_put(batch.counts, repl),
-                        jax.device_put(global_ids, repl),
                     )
                 result = step(params, *args, base_key)
                 inflight.append((batch, result))

@@ -1,0 +1,166 @@
+"""Pallas Monte-Carlo site-probability kernel.
+
+Replays the reference's sampling estimator — per site, ``n_iters`` iterations
+of 20 reads drawn uniformly with replacement, averaged noisy-OR
+(reference: m6anet/utils/inference_utils.py:74-87) — as one device kernel
+that is MXU-bound instead of gather-bound.
+
+Design (2026-08-20, round 3):
+
+* **Shared draws.** One uniform matrix ``U (n_samples, T)`` per iteration
+  chunk, derived from the run key only.  Site s draws read
+  ``floor(U[j,t] * count_s)`` — exactly uniform over its reads, so the
+  per-site estimator is distributed identically to the reference's; draws
+  are correlated *across* sites (the reference's forked mp.Pool RNGs are
+  too), and results are placement-invariant by construction: they depend
+  only on (seed, count, the site's read probabilities).
+* **Count-keyed draw histogram.** The per-iteration noisy-OR needs
+  ``sum_j log1p(-p[draw_j])``, i.e. ``K @ l`` where ``K[t,r]`` counts how
+  often read r is drawn in iteration t.  K depends only on the site's read
+  COUNT, so sites are sorted by count (host-invisible: results are
+  unsorted at the end) and ``KT (W, T)`` lives in VMEM scratch, rebuilt
+  only when the count changes — ~hundreds of rebuilds per batch instead of
+  one gather per draw.
+* **Per-site MXU matvec.** ``S = l^T @ KT`` with l the site's
+  ``log1p(-p)`` row, streamed as a pipelined (1, W) block from a dense
+  per-site window matrix.  KT entries are small integers (exact in bfloat16),
+  so a 2-pass hi/lo split of l gives ~f32 accuracy at 2 MXU passes.
+  Then ``site_p = 1 - mean_t exp(S_t)``.
+
+Cost per 8192-site batch at n_iters=1000: ~2 GFLOP of matvec + ~12 G VPU
+ops of K builds, versus 164M random HBM gathers for the XLA fallback
+(m6anet_tpu/ops/site_ops.py::site_probability_mc).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_READ_CAP = 1024  # >= dataprep's default readcount_max (1000)
+LANE = 128
+
+
+def _mc_kernel(
+    counts_ref,  # scalar-prefetch SMEM (n_sites_pad,) — sorted read counts
+    u_ref,  # (n_samples, T) f32 VMEM — shared draws
+    p_ref,  # (1, 1, W) f32 VMEM — this site's reads (pipelined from dense_p)
+    out_ref,  # (1, s_pad) f32 VMEM-resident output: sum_t exp(S_t) per site
+    kt_ref,  # (W, T) bf16 scratch — draw histogram for the current count
+    *, n_samples: int, W: int, T: int,
+):
+    i = pl.program_id(0)
+    c = counts_ref[i]
+
+    # rebuild the histogram only when the (sorted) count changes
+    prev_c = counts_ref[jnp.maximum(i, 1) - 1]
+
+    @pl.when((i == 0) | (c != prev_c))
+    def _rebuild_kt():
+        cf = c.astype(jnp.float32)
+        # floor(u*c) clamped to c-1 (f32 boundary rounding); c==0 padding
+        # sites clamp to -1, matching no row — KT all zero, exp(0)=1, and
+        # the wrapper masks them out anyway
+        idx = jnp.minimum((u_ref[:] * cf).astype(jnp.int32), c - 1)  # (ns, T)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0)
+        acc = jnp.zeros((W, T), jnp.float32)
+        for j in range(n_samples):
+            acc += (rows == idx[j, :][None, :]).astype(jnp.float32)
+        kt_ref[:] = acc.astype(jnp.bfloat16)  # counts <= ns: exact in bf16
+
+    # clamp: p==1.0 gives log1p(-1)=-inf, and 0 * -inf would NaN through the
+    # matmul for reads that are never drawn
+    l = jnp.maximum(jnp.log1p(-p_ref[0]), -1e4)  # (1, W)
+    l_hi = l.astype(jnp.bfloat16)
+    l_lo = (l - l_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    kt = kt_ref[:]
+    s_log = jnp.dot(l_hi, kt, preferred_element_type=jnp.float32) + jnp.dot(
+        l_lo, kt, preferred_element_type=jnp.float32
+    )  # (1, T)
+    sum_exp = jnp.sum(jnp.exp(s_log))
+
+    # accumulate this site's scalar into the whole-batch resident output row
+    # (same pattern as the fused inference kernel's site accumulator:
+    # 128-aligned dynamic lane offset, one-hot lane select)
+    @pl.when(i == 0)
+    def _init_out():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    base = pl.multiple_of((i // LANE) * LANE, LANE)
+    out_ref[:, pl.ds(base, LANE)] += jnp.where(lane == (i % LANE), sum_exp, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_iters", "n_samples", "read_cap", "interpret")
+)
+def site_probability_mc_pallas(
+    p: jnp.ndarray,  # (N,) f32 flat packed read probabilities
+    offsets: jnp.ndarray,  # (S,) i32 first-read offset per site
+    counts: jnp.ndarray,  # (S,) i32 true read counts (0 = padding site)
+    base_key: jnp.ndarray,
+    n_iters: int = 1000,
+    n_samples: int = 20,
+    read_cap: int = DEFAULT_READ_CAP,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """MC site probabilities, one value per site (0 for count-0 padding).
+
+    ``read_cap`` (static, multiple of 128) must be >= every site's count;
+    the engine validates batches against it before dispatch.
+    """
+    if read_cap % LANE != 0:
+        raise ValueError(f"read_cap must be a multiple of {LANE}, got {read_cap}")
+    n_sites = counts.shape[0]
+    w = read_cap
+    order = jnp.argsort(counts)
+    s_pad = -(-n_sites // LANE) * LANE
+    counts_s = jnp.zeros((s_pad,), jnp.int32).at[:n_sites].set(counts[order])
+    offsets_s = jnp.zeros((s_pad,), jnp.int32).at[:n_sites].set(offsets[order])
+    p_pad = jnp.concatenate([p.astype(jnp.float32), jnp.zeros((w,), jnp.float32)])
+    # dense per-site read windows: one contiguous w-slice per (sorted) site,
+    # streamed into the kernel as pipelined (1, w) blocks (a Mosaic 1D
+    # dynamic-offset DMA cannot prove tile alignment, so the slicing happens
+    # here in XLA instead)
+    dense_p = p_pad[offsets_s[:, None] + jnp.arange(w)[None, :]].reshape(s_pad, 1, w)
+
+    chunk = min(n_iters, 1024)
+    n_chunks, rem = divmod(n_iters, chunk)
+    sizes = [chunk] * n_chunks + ([rem] if rem else [])
+
+    total = jnp.zeros((s_pad,), jnp.float32)
+    for ci, t_chunk in enumerate(sizes):
+        u = jax.random.uniform(
+            jax.random.fold_in(base_key, ci), (n_samples, t_chunk), jnp.float32
+        )
+        out = pl.pallas_call(
+            functools.partial(_mc_kernel, n_samples=n_samples, W=w, T=t_chunk),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(s_pad,),
+                in_specs=[
+                    pl.BlockSpec(u.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, s_pad), lambda i, *_: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((w, t_chunk), jnp.bfloat16),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((1, s_pad), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 2 * s_pad * w * t_chunk,
+                bytes_accessed=s_pad * w * 4,
+                transcendentals=s_pad * (w + t_chunk),
+            ),
+            interpret=interpret,
+        )(counts_s, u, dense_p)
+        total = total + out.reshape(-1)
+
+    site_p_sorted = 1.0 - total / n_iters
+    res = jnp.zeros((n_sites,), jnp.float32).at[order].set(site_p_sorted[:n_sites])
+    return jnp.where(counts > 0, res, 0.0)

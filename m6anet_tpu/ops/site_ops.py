@@ -73,52 +73,54 @@ def site_probability_mc(
     p: jnp.ndarray,
     offsets: jnp.ndarray,
     counts: jnp.ndarray,
-    site_keys: jnp.ndarray,
+    base_key: jnp.ndarray,
     n_iters: int = 1000,
     n_samples: int = 20,
 ) -> jnp.ndarray:
     """Monte-Carlo emulation of the reference estimator, fully on device.
 
     ``offsets[s]``/``counts[s]`` delimit site s's reads in the flat ``p``;
-    ``site_keys`` are per-site PRNG keys (derive them by folding a global
-    site index into the run key so results are placement-invariant under any
-    sharding).  Sites with count 0 return 0.
+    sites with count 0 return 0.
+
+    Shared-draw design (2026-08-20): one uniform matrix ``U`` per iteration
+    chunk is derived from ``base_key`` alone; site s's j-th draw of
+    iteration t is read ``floor(U[j,t] * count_s)`` — exactly uniform over
+    its reads, so the per-site estimator is distributed identically to the
+    reference's 20-with-replacement resampling
+    (reference: m6anet/utils/inference_utils.py:74-87).  Draws are
+    correlated across sites (so are the reference's: its mp.Pool workers
+    fork identical RNG states), and results are placement-invariant by
+    construction — they depend only on (seed, count, the site's reads) —
+    which host-shard merging relies on.  This removes the per-site threefry
+    key streams, leaving a flat gather per draw; the TPU backend goes
+    further and replaces the gathers with count-keyed MXU matvecs
+    (m6anet_tpu/ops/mc_kernel.py).
 
     Iterations are processed in fixed chunks under a ``lax.scan`` so peak
-    memory is O(sites * chunk * n_samples) regardless of ``n_iters`` (at
-    8192-site batches the unchunked index tensor alone would be >600 MB).
-    The chunk adapts to the site count so the transient index+gather
-    buffers stay near 128 MB — a 65,536-site batch at chunk 100 allocates
-    >1 GB and crashed this container's relay-virtualized chip.
+    memory is O(sites * chunk * n_samples) regardless of ``n_iters``.
     """
     n_sites_cap = int(offsets.shape[0])
-    chunk = max(1, min(n_iters, 100, (128 << 20) // max(1, n_sites_cap * n_samples * 8)))
+    chunk = max(1, min(n_iters, 64, (96 << 20) // max(1, n_sites_cap * n_samples * 8)))
     n_chunks, rem = divmod(n_iters, chunk)
+    cntf = counts.astype(p.dtype)
+    cmax = jnp.maximum(counts - 1, 0)
 
-    def sample_chunk(key, offset, count, size):
-        idx = jax.random.randint(key, (size, n_samples), 0, jnp.maximum(count, 1))
-        probs = p[offset + idx]
-        return jnp.sum(1.0 - jnp.prod(1.0 - probs, axis=1))
+    def sample_chunk(chunk_idx, size):
+        u = jax.random.uniform(
+            jax.random.fold_in(base_key, chunk_idx), (n_samples, size), p.dtype
+        )
+        idx = jnp.minimum((u[:, :, None] * cntf).astype(jnp.int32), cmax)
+        draws = p[offsets[None, None, :] + idx]  # (n_samples, size, S)
+        prod = jnp.prod(1.0 - draws, axis=0)  # (size, S)
+        return jnp.sum(1.0 - prod, axis=0)  # (S,)
 
     def scan_body(carry, chunk_idx):
-        def one_site(offset, count, key):
-            return sample_chunk(jax.random.fold_in(key, chunk_idx), offset, count, chunk)
+        return carry + sample_chunk(chunk_idx, chunk), None
 
-        return carry + jax.vmap(one_site)(offsets, counts, site_keys), None
-
-    total, _ = jax.lax.scan(scan_body, jnp.zeros_like(p, shape=offsets.shape), jnp.arange(n_chunks))
+    total, _ = jax.lax.scan(
+        scan_body, jnp.zeros_like(p, shape=offsets.shape), jnp.arange(n_chunks)
+    )
     if rem:
-        def one_site_rem(offset, count, key):
-            return sample_chunk(jax.random.fold_in(key, n_chunks), offset, count, rem)
-
-        total = total + jax.vmap(one_site_rem)(offsets, counts, site_keys)
+        total = total + sample_chunk(n_chunks, rem)
     mean = total / n_iters
     return jnp.where(counts > 0, mean, 0.0)
-
-
-def make_site_keys(base_key: jnp.ndarray, global_site_ids: jnp.ndarray) -> jnp.ndarray:
-    """Counter-based per-site keys: fold the dataset-global site index into a
-    run-level key.  Deterministic for a fixed seed regardless of batch or
-    shard assignment (the reference's mp.Pool sampling is not reproducible —
-    SURVEY.md §4)."""
-    return jax.vmap(lambda i: jax.random.fold_in(base_key, i))(global_site_ids)

@@ -63,11 +63,16 @@ def argparser():
                         help="sites per device batch (static shape).")
     parser.add_argument("--min_reads", default=DEFAULT_MIN_READS, type=int,
                         help="minimum reads for a site to be scored.")
-    parser.add_argument("--backend", default="xla", choices=["xla", "pallas", "pallas_fused"],
-                        help="per-read encoder backend (pallas = fused kernel, "
-                             "production architecture only).")
-    parser.add_argument("--precision", default="f32", choices=["f32", "f32x3", "bf16"],
-                        help="f32 = parity mode (6-pass HIGHEST matmuls); "
+    parser.add_argument("--backend", default="auto",
+                        choices=["auto", "xla", "pallas", "pallas_fused"],
+                        help="per-read encoder backend. auto = fused Pallas "
+                             "kernel on TPU for the production architecture, "
+                             "XLA otherwise (pallas backends support only the "
+                             "production architecture).")
+    parser.add_argument("--precision", default="auto",
+                        choices=["auto", "f32", "f32x3", "bf16"],
+                        help="auto = f32x3 on the TPU fused path, f32 otherwise; "
+                             "f32 = parity mode (6-pass HIGHEST matmuls); "
                              "f32x3 = 3-pass bf16x3 matmuls, ~f32-accurate "
                              "(within the 1e-5 per-read golden tolerance); "
                              "bf16 = fast mode (~1e-3 probability error). "
@@ -142,7 +147,10 @@ def main(args):
     except Exception:
         pass  # cache is best-effort
 
-    if getattr(args, "distributed", False):
+    if getattr(args, "distributed", False) and not jax.distributed.is_initialized():
+        # multi-host runtime; coordinator/process env comes from the launcher
+        # (a caller may also have initialized explicitly, e.g. the
+        # multi-process distributed test, tests/distributed_worker.py)
         jax.distributed.initialize()
 
     jax.devices()  # initialise the backend before any torch import
@@ -209,8 +217,8 @@ def main(args):
         seed=args.seed,
         read_capacity=args.read_capacity,
         site_capacity=args.site_capacity,
-        backend=getattr(args, "backend", "xla"),
-        precision=getattr(args, "precision", "f32"),
+        backend=getattr(args, "backend", "auto"),
+        precision=getattr(args, "precision", "auto"),
         resume=getattr(args, "resume", False),
         host_shard=host_shard,
         n_threads=getattr(args, "n_processes", 1),

@@ -32,11 +32,15 @@ import pytest  # noqa: E402
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-REFERENCE_DATA = "/root/reference/m6anet/tests/data"
+# vendored demo fixtures (copied from the reference's bundled test data so
+# the suite is self-contained — no reference checkout needed; only
+# test_torch_block_parity.py, which parity-tests against the reference's own
+# torch source, still wants /root/reference and skips itself otherwise)
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 
 
 def _ref(*parts):
-    return os.path.join(REFERENCE_DATA, *parts)
+    return os.path.join(DATA_DIR, *parts)
 
 
 @pytest.fixture(scope="session")

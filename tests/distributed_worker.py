@@ -1,0 +1,52 @@
+"""Subprocess worker for the multi-process distributed inference test.
+
+Runs one process of an N-process `m6anet_tpu inference --distributed` job on
+the CPU backend: real ``jax.distributed.initialize()``, the engine's
+process-indexed host shard, the cross-process barrier, and host-0's shard
+merge (m6anet_tpu/scripts/inference.py) — the code path a multi-host TPU pod
+runs, executed with local processes (SURVEY.md §2.2).
+
+Usage: python distributed_worker.py <coordinator> <num_processes> <process_id>
+       <input_dir> <out_dir>
+"""
+import os
+import sys
+
+
+def main():
+    coordinator, num_processes, process_id, input_dir, out_dir = sys.argv[1:6]
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+    ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=int(num_processes),
+        process_id=int(process_id),
+    )
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from m6anet_tpu.scripts import inference
+
+    args = inference.argparser().parse_args(
+        [
+            "--input_dir", input_dir,
+            "--out_dir", out_dir,
+            "--device", "cpu",
+            "--n_processes", "1",
+            "--site_proba_method", "mc",
+            "--num_iterations", "50",
+            "--seed", "3",
+            "--distributed",
+        ]
+    )
+    inference.main(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,11 +19,13 @@ from m6anet_tpu.data.dataset import SiteDataset
 from m6anet_tpu.inference.engine import run_inference
 from m6anet_tpu.models import load_model
 
+_ASSET_DIR = os.path.join(os.path.dirname(__file__), "data", "reference_assets")
+
 REFERENCE_STATE_DICTS = {
-    "HCT116_RNA002": "/root/reference/m6anet/model/model_states/rna002_hct116.pt",
-    "arabidopsis_RNA002": "/root/reference/m6anet/model/model_states/rna002_arabidopsis_virc.pt",
-    "HEK293T_RNA004": "/root/reference/m6anet/model/model_states/rna004_hek293t_glori.pt",
-    "HEK293T_RNA004_M6ACE": "/root/reference/m6anet/model/model_states/rna004_hek293t_m6ace.pt",
+    "HCT116_RNA002": _ASSET_DIR + "/rna002_hct116.pt",
+    "arabidopsis_RNA002": _ASSET_DIR + "/rna002_arabidopsis_virc.pt",
+    "HEK293T_RNA004": _ASSET_DIR + "/rna004_hek293t_glori.pt",
+    "HEK293T_RNA004_M6ACE": _ASSET_DIR + "/rna004_hek293t_m6ace.pt",
 }
 
 

@@ -92,7 +92,7 @@ def test_columnar_training_mode(columnar_dir):
     import shutil
 
     shutil.copyfile(
-        "/root/reference/m6anet/tests/data/data.info.labelled",
+        os.path.join(os.path.dirname(__file__), "data", "data.info.labelled"),
         os.path.join(columnar_dir, "data.info.labelled"),
     )
     from m6anet_tpu.constants import DEFAULT_NORM_PATH
@@ -222,7 +222,7 @@ def test_columnar_train_toml_surface(columnar_dir, tmp_path):
     import shutil
 
     shutil.copyfile(
-        "/root/reference/m6anet/tests/data/data.info.labelled",
+        os.path.join(os.path.dirname(__file__), "data", "data.info.labelled"),
         os.path.join(columnar_dir, "data.info.labelled"),
     )
     from m6anet_tpu.constants import DEFAULT_NORM_PATH
@@ -301,7 +301,7 @@ def test_columnar_training_samplers(columnar_dir):
     import shutil
 
     shutil.copyfile(
-        "/root/reference/m6anet/tests/data/data.info.labelled",
+        os.path.join(os.path.dirname(__file__), "data", "data.info.labelled"),
         os.path.join(columnar_dir, "data.info.labelled"),
     )
     from m6anet_tpu.constants import DEFAULT_NORM_PATH

@@ -242,7 +242,7 @@ def test_malformed_lines_skipped(tmp_path):
     """Truncated/garbage lines are skipped, valid lines still processed."""
     from m6anet_tpu.dataprep import run_dataprep
 
-    src = "/root/reference/m6anet/tests/data/eventalign.txt"
+    src = os.path.join(os.path.dirname(__file__), "data", "eventalign.txt")
     bad = tmp_path / "bad.txt"
     with open(src) as f:
         lines = f.readlines()
@@ -325,7 +325,7 @@ def test_interleaved_transcripts_group_in_first_appearance_order(tmp_path):
     from m6anet_tpu.dataprep.indexer import read_index_grouped
     from m6anet_tpu.dataprep.runner import run_dataprep
 
-    src = "/root/reference/m6anet/tests/data/eventalign.txt"
+    src = os.path.join(os.path.dirname(__file__), "data", "eventalign.txt")
     with open(src) as f:
         header = f.readline()
         lines = f.readlines()
@@ -477,7 +477,7 @@ def test_native_index_loader_crlf_and_malformed(tmp_path):
     newlines) and rejects non-digit bytes instead of corrupting offsets."""
     from m6anet_tpu.native import native_load_index
 
-    src = "/root/reference/m6anet/tests/data/eventalign.index"
+    src = os.path.join(os.path.dirname(__file__), "data", "eventalign.index")
     crlf = tmp_path / "crlf.index"
     crlf.write_bytes(open(src, "rb").read().replace(b"\n", b"\r\n"))
     a = native_load_index(str(crlf))

@@ -12,7 +12,7 @@ from m6anet_tpu.constants import DEFAULT_MIN_READS, PRETRAINED_CONFIGS
 from m6anet_tpu.data.dataset import build_dataset
 from m6anet_tpu.inference.engine import run_inference
 
-DATA_DIR = "/root/reference/m6anet/tests/data"
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 
 
 @pytest.fixture(scope="module")

@@ -2,6 +2,7 @@
 production architecture against the released reference weights evaluated with
 independent torch math (unit-level cross-check; the reference has no analog —
 its suite is integration-only, see SURVEY.md §4)."""
+import os
 import tomllib
 
 import jax
@@ -12,11 +13,13 @@ import pytest
 from m6anet_tpu.constants import DEFAULT_MODEL_CONFIG, PRETRAINED_CONFIGS
 from m6anet_tpu.models import BLOCK_REGISTRY, MILModel, load_model
 
+_ASSET_DIR = os.path.join(os.path.dirname(__file__), "data", "reference_assets")
+
 REFERENCE_STATE_DICTS = {
-    "HCT116_RNA002": "/root/reference/m6anet/model/model_states/rna002_hct116.pt",
-    "arabidopsis_RNA002": "/root/reference/m6anet/model/model_states/rna002_arabidopsis_virc.pt",
-    "HEK293T_RNA004": "/root/reference/m6anet/model/model_states/rna004_hek293t_glori.pt",
-    "HEK293T_RNA004_M6ACE": "/root/reference/m6anet/model/model_states/rna004_hek293t_m6ace.pt",
+    "HCT116_RNA002": _ASSET_DIR + "/rna002_hct116.pt",
+    "arabidopsis_RNA002": _ASSET_DIR + "/rna002_arabidopsis_virc.pt",
+    "HEK293T_RNA004": _ASSET_DIR + "/rna004_hek293t_glori.pt",
+    "HEK293T_RNA004_M6ACE": _ASSET_DIR + "/rna004_hek293t_m6ace.pt",
 }
 
 

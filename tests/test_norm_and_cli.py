@@ -6,7 +6,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-DATA_DIR = "/root/reference/m6anet/tests/data"
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 
 
 def test_compute_norm_dict_matches_naive():

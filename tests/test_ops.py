@@ -1,5 +1,7 @@
 """Unit tests for the device-side site aggregation ops and the fused encoder
 kernel (interpret mode on CPU; real-hardware parity is exercised by bench)."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -58,10 +60,10 @@ def test_mc_converges_to_exact():
     site_capacity, read_capacity, n_sites = 8, 512, 6
     p, site_ids, offsets, counts, _ = _random_site_layout(rng, n_sites, site_capacity, read_capacity)
 
-    keys = site_ops.make_site_keys(jax.random.PRNGKey(0), jnp.arange(site_capacity))
     mc = np.asarray(
         site_ops.site_probability_mc(
-            jnp.asarray(p), jnp.asarray(offsets), jnp.asarray(counts), keys, n_iters=4000
+            jnp.asarray(p), jnp.asarray(offsets), jnp.asarray(counts),
+            jax.random.PRNGKey(0), n_iters=4000
         )
     )
     exact = np.asarray(
@@ -72,12 +74,51 @@ def test_mc_converges_to_exact():
     np.testing.assert_allclose(mc[:n_sites], exact[:n_sites], atol=2e-2)
 
 
-def test_site_keys_are_placement_invariant():
-    base = jax.random.PRNGKey(3)
-    a = site_ops.make_site_keys(base, jnp.asarray([5, 9]))
-    b = site_ops.make_site_keys(base, jnp.asarray([9, 5]))
-    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[1]))
-    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[0]))
+def test_mc_kernel_converges_and_is_deterministic():
+    """The Pallas MC kernel (interpret mode): converges to the closed form,
+    bit-deterministic for a fixed seed, count-0 padding sites return 0."""
+    from m6anet_tpu.ops.mc_kernel import site_probability_mc_pallas
+
+    rng = np.random.default_rng(5)
+    site_capacity, read_capacity, n_sites = 8, 512, 6
+    p, site_ids, offsets, counts, _ = _random_site_layout(rng, n_sites, site_capacity, read_capacity)
+
+    args = (jnp.asarray(p), jnp.asarray(offsets), jnp.asarray(counts), jax.random.PRNGKey(0))
+    mc = np.asarray(site_probability_mc_pallas(*args, n_iters=4000, read_cap=128, interpret=True))
+    exact = np.asarray(
+        site_ops.site_probability_exact(
+            jnp.asarray(p), jnp.asarray(site_ids), jnp.asarray(counts), site_capacity, 20
+        )
+    )
+    np.testing.assert_allclose(mc[:n_sites], exact[:n_sites], atol=2e-2)
+    assert (mc[n_sites:] == 0).all()
+
+    mc2 = np.asarray(site_probability_mc_pallas(*args, n_iters=4000, read_cap=128, interpret=True))
+    np.testing.assert_array_equal(mc, mc2)
+
+
+def test_mc_is_placement_invariant():
+    """A site's MC estimate depends only on (seed, its reads): moving the
+    site to a different batch slot must not change its value — host-shard
+    merging relies on this."""
+    rng = np.random.default_rng(6)
+    site_capacity, read_capacity, n_sites = 8, 512, 6
+    p, _, offsets, counts, cursor = _random_site_layout(rng, n_sites, site_capacity, read_capacity)
+
+    key = jax.random.PRNGKey(1)
+    a = np.asarray(site_ops.site_probability_mc(
+        jnp.asarray(p), jnp.asarray(offsets), jnp.asarray(counts), key, n_iters=200))
+
+    # rotate the sites: site 0's reads move to the end of the packed axis
+    n0 = counts[0]
+    p_rot = np.concatenate([p[n0:cursor], p[:n0], p[cursor:]])
+    offsets_rot = np.concatenate([offsets[1:n_sites] - n0, [cursor - n0], offsets[n_sites:]]).astype(np.int32)
+    counts_rot = np.concatenate([counts[1:n_sites], [n0], counts[n_sites:]]).astype(np.int32)
+    b = np.asarray(site_ops.site_probability_mc(
+        jnp.asarray(p_rot), jnp.asarray(offsets_rot), jnp.asarray(counts_rot), key, n_iters=200))
+
+    np.testing.assert_array_equal(a[0], b[n_sites - 1])
+    np.testing.assert_array_equal(a[1:n_sites], b[: n_sites - 1])
 
 
 def test_fused_kernel_interpret_matches_model(production_model):
@@ -144,7 +185,7 @@ def test_engine_pallas_fused_backend_matches_xla(production_model, tmp_path):
 
     model, params = production_model
     _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
-    ds = build_dataset("/root/reference/m6anet/tests/data", min_reads=DEFAULT_MIN_READS,
+    ds = build_dataset(os.path.join(os.path.dirname(__file__), "data"), min_reads=DEFAULT_MIN_READS,
                        norm_path=norm, mode="Inference")
     run_inference(model, params, ds, str(tmp_path / "x"), read_proba_threshold=thr,
                   use_mesh=False, backend="xla")
@@ -166,7 +207,7 @@ def test_engine_pallas_backend_matches_xla(production_model, tmp_path):
 
     model, params = production_model
     _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
-    ds = build_dataset("/root/reference/m6anet/tests/data", min_reads=DEFAULT_MIN_READS,
+    ds = build_dataset(os.path.join(os.path.dirname(__file__), "data"), min_reads=DEFAULT_MIN_READS,
                        norm_path=norm, mode="Inference")
     run_inference(model, params, ds, str(tmp_path / "x"), read_proba_threshold=thr,
                   use_mesh=False, backend="xla")
@@ -188,7 +229,7 @@ def test_bf16_mode_within_site_tolerance(production_model, tmp_path):
 
     model, params = production_model
     _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
-    ds = build_dataset("/root/reference/m6anet/tests/data", min_reads=DEFAULT_MIN_READS,
+    ds = build_dataset(os.path.join(os.path.dirname(__file__), "data"), min_reads=DEFAULT_MIN_READS,
                        norm_path=norm, mode="Inference")
     run_inference(model, params, ds, str(tmp_path / "f32"), read_proba_threshold=thr,
                   use_mesh=False, backend="pallas")
@@ -218,7 +259,7 @@ def test_f32x3_mode_matches_f32(production_model, tmp_path):
 
     model, params = production_model
     _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
-    ds = build_dataset("/root/reference/m6anet/tests/data", min_reads=DEFAULT_MIN_READS,
+    ds = build_dataset(os.path.join(os.path.dirname(__file__), "data"), min_reads=DEFAULT_MIN_READS,
                        norm_path=norm, mode="Inference")
     run_inference(model, params, ds, str(tmp_path / "f32"), read_proba_threshold=thr,
                   use_mesh=False, backend="pallas_fused")

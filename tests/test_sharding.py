@@ -15,7 +15,7 @@ from m6anet_tpu.constants import DEFAULT_MIN_READS, PRETRAINED_CONFIGS
 from m6anet_tpu.data.dataset import build_dataset
 from m6anet_tpu.inference.engine import run_inference
 
-DATA_DIR = "/root/reference/m6anet/tests/data"
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 
 
 def test_sharded_inference_matches_single_device(production_model, tmp_path):
@@ -88,6 +88,50 @@ def test_host_sharded_inference_merges_to_single_host_result(production_model, t
         a = pd.read_csv(single / name)
         b = pd.read_csv(sharded / name)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_multiprocess_distributed_inference(production_model, tmp_path):
+    """REAL multi-process distributed path: 2 subprocesses with
+    jax.distributed.initialize() on the CPU backend run the inference CLI
+    with --distributed; the cross-process barrier fires and host 0 merges
+    the CSV shards.  The merged output must equal a single-process run
+    (MC draws are placement-invariant).  SURVEY.md §2.2."""
+    import subprocess
+    import socket
+
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    out_dir = tmp_path / "dist"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, f"localhost:{port}", "2", str(i), DATA_DIR, str(out_dir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, logbytes in zip(procs, logs):
+        assert p.returncode == 0, logbytes.decode(errors="replace")[-4000:]
+
+    # single-process result with the same config (mc, 50 iters, seed 3)
+    model, params = production_model
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    ds = build_dataset(DATA_DIR, min_reads=DEFAULT_MIN_READS, norm_path=norm, mode="Inference")
+    single = tmp_path / "single"
+    run_inference(model, params, ds, str(single), read_proba_threshold=thr,
+                  method="mc", num_iterations=50, seed=3)
+
+    for name in ("data.site_proba.csv", "data.indiv_proba.csv"):
+        a = pd.read_csv(single / name)
+        b = pd.read_csv(out_dir / name)
+        np.testing.assert_allclose(
+            a["probability_modified"], b["probability_modified"], atol=1e-6
+        )
+        assert list(a.columns) == list(b.columns) and len(a) == len(b)
 
 
 def test_mesh_training_runs_and_learns(tmp_path):

@@ -56,6 +56,16 @@ def _load_reference_blocks():
     return fb, pb
 
 
+# This suite alone needs the reference *source* (it parity-tests against the
+# reference's own torch modules); the rest of the test suite runs from the
+# vendored fixtures in tests/data and does not need /root/reference at all.
+if not os.path.isdir("/root/reference/m6anet"):
+    pytest.skip(
+        "reference checkout not present; block-parity suite compares against "
+        "the reference's own torch code",
+        allow_module_level=True,
+    )
+
 FB, PB = _load_reference_blocks()
 import torch  # noqa: E402  (after jax; see tests/conftest.py import-order note)
 

@@ -10,7 +10,7 @@ import pytest
 
 from m6anet_tpu.constants import DEFAULT_NORM_PATH
 
-DATA_DIR = "/root/reference/m6anet/tests/data"
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 
 
 def test_bce_matches_torch_semantics():

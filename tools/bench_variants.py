@@ -135,12 +135,19 @@ def main():
 
         n_iters = 1000
         base_key = jnp.zeros((2,), jnp.uint32)
-        gids = jnp.arange(site_capacity, dtype=jnp.int32)
+
+        if "kernel" in variant:
+            from m6anet_tpu.ops.mc_kernel import site_probability_mc_pallas
+
+            def site_mc(p, offs, cnts):
+                return site_probability_mc_pallas(p, offs, cnts, base_key, n_iters=n_iters)
+        else:
+            def site_mc(p, offs, cnts):
+                return site_ops.site_probability_mc(p, offs, cnts, base_key, n_iters=n_iters)
 
         def step(params, feats, kmers, sids, offs, cnts):
             p = model.per_read_probability(params, {"X": feats, "kmer": kmers})
-            keys = site_ops.make_site_keys(base_key, gids)
-            sp = site_ops.site_probability_mc(p, offs, cnts, keys, n_iters=n_iters, n_samples=20)
+            sp = site_mc(p, offs, cnts)
             mr = site_ops.mod_ratio_exact(p, sids, cnts, site_capacity, thr)
             return p, sp, mr
 
