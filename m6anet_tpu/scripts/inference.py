@@ -57,10 +57,13 @@ def argparser():
     parser.add_argument("--site_proba_method", default="exact", choices=["exact", "mc"],
                         help="exact = closed-form noisy-OR expectation; "
                              "mc = on-device emulation of the reference's sampling estimator.")
-    parser.add_argument("--read_capacity", default=65536, type=int,
-                        help="reads per device batch (static shape).")
-    parser.add_argument("--site_capacity", default=1024, type=int,
-                        help="sites per device batch (static shape).")
+    parser.add_argument("--read_capacity", default=None, type=int,
+                        help="reads per device batch (static shape); default "
+                             "1048576 on TPU, 65536 on CPU (big batches "
+                             "amortize per-dispatch host<->device latency).")
+    parser.add_argument("--site_capacity", default=None, type=int,
+                        help="sites per device batch (static shape); default "
+                             "16384 on TPU, 1024 on CPU.")
     parser.add_argument("--min_reads", default=DEFAULT_MIN_READS, type=int,
                         help="minimum reads for a site to be scored.")
     parser.add_argument("--backend", default="auto",
@@ -215,8 +218,10 @@ def main(args):
         num_iterations=args.num_iterations,
         method=args.site_proba_method,
         seed=args.seed,
-        read_capacity=args.read_capacity,
-        site_capacity=args.site_capacity,
+        read_capacity=args.read_capacity
+        or (65536 if jax.default_backend() == "cpu" else 1048576),
+        site_capacity=args.site_capacity
+        or (1024 if jax.default_backend() == "cpu" else 16384),
         backend=getattr(args, "backend", "auto"),
         precision=getattr(args, "precision", "auto"),
         resume=getattr(args, "resume", False),

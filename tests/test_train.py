@@ -260,3 +260,30 @@ def test_summary_stats_probability_architecture_infers():
     assert read_prob.shape == (2, 20)
     flat = model.per_read_probability(params, batch)
     assert flat.shape == (40,)
+
+
+@pytest.mark.skipif(
+    not (os.path.isdir("/root/reference/m6anet") and os.environ.get("M6ANET_TPU_SLOW_TESTS")),
+    reason="opt-in (set M6ANET_TPU_SLOW_TESTS=1; needs the reference checkout): "
+    "trains BOTH stacks to convergence (~3 min)",
+)
+def test_training_matches_reference_torch_loop():
+    """End-to-end training comparison against the reference's actual torch
+    loop (reference: m6anet/utils/training_utils.py:61-268) on the labelled
+    demo data: same config/sampler/lr/epochs, final metrics within a
+    statistical band (RNG streams differ).  See tools/compare_training.py;
+    the documented run is recorded in PERFORMANCE.md."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from compare_training import compare
+
+    rep = compare(epochs=300, num_iterations=5, seed=25)
+    ours, ref = rep["ours"], rep["reference"]
+    # both stacks must have learned the train split to a comparable level
+    assert ours["train_roc_auc"] > 0.85, ours
+    assert ref["train_roc_auc"] > 0.85, ref
+    assert abs(ours["train_roc_auc"] - ref["train_roc_auc"]) < 0.1
+    assert abs(ours["train_pr_auc"] - ref["train_pr_auc"]) < 0.12
+    # val split has only 2 positives of 19 sites: wide statistical band
+    assert ours["val_roc_auc"] > 0.6 and ref["val_roc_auc"] > 0.6

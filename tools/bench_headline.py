@@ -37,7 +37,7 @@ def build_dataset(out_dir: str, n_sites: int, n_reads_total: int, seed: int = 0)
     demo_dir = os.path.join(out_dir, "_demo")
     if not os.path.exists(os.path.join(demo_dir, "columnar", "meta.json")):
         run_dataprep(
-            "/root/reference/m6anet/tests/data/eventalign.txt",
+            os.path.join(REPO, "tests", "data", "eventalign.txt"),
             demo_dir,
             n_processes=2,
             readcount_min=1,

@@ -1,0 +1,194 @@
+"""End-to-end training comparison: this framework vs the reference torch loop.
+
+Trains BOTH stacks on the same labelled demo dataset with the same
+configuration (loss, sampler, lr, epochs, validation-averaging iterations)
+and reports train/val ROC-AUC / PR-AUC trajectories side by side:
+
+* ours:      m6anet_tpu.scripts.train (jax/optax, torch-Adam semantics)
+* reference: m6anet.scripts.train at /root/reference (torch), imported with
+  stand-ins for its unavailable third-party deps
+  (reference: m6anet/utils/training_utils.py:61-268, scripts/train.py:55-131)
+
+RNG streams differ between the stacks, so the comparison is statistical:
+both must learn (final train ROC-AUC above a band) and agree on final
+metrics within a tolerance.  Usage:
+
+    python tools/compare_training.py [epochs] [out_json]
+"""
+import json
+import os
+import shutil
+import sys
+import tempfile
+import types
+
+sys.path.insert(0, "/root/repo")
+
+DATA_DIR = "/root/repo/tests/data"
+NORM_JOBLIB = os.path.join(DATA_DIR, "reference_assets", "rna002_hct116.joblib")
+
+TRAIN_CONFIG = """\
+[loss_function]
+loss_function_type = "binary_cross_entropy_loss"
+
+[dataset]
+root_dir = "{root}"
+min_reads = 20
+norm_path = "{norm}"
+num_neighboring_features = 1
+
+[dataloader]
+    [dataloader.train]
+    batch_size = 256
+    sampler = "ImbalanceOverSampler"
+
+    [dataloader.val]
+    batch_size = 256
+    shuffle = false
+
+    [dataloader.test]
+    batch_size = 256
+    shuffle = false
+"""
+
+
+def _install_reference_stubs():
+    if "pkg_resources" not in sys.modules:
+        stub = types.ModuleType("pkg_resources")
+        stub.resource_filename = lambda pkg, path: os.path.join(
+            "/root/reference", pkg.replace(".", "/"), path
+        )
+        sys.modules["pkg_resources"] = stub
+    if "ujson" not in sys.modules:
+        uj = types.ModuleType("ujson")
+        uj.dump, uj.dumps, uj.load, uj.loads = (
+            json.dump, json.dumps, json.load, json.loads,
+        )
+        sys.modules["ujson"] = uj
+    if "toml" not in sys.modules:
+        import tomllib
+
+        tm = types.ModuleType("toml")
+        tm.load = lambda f: (
+            tomllib.load(open(f, "rb"))
+            if isinstance(f, (str, os.PathLike))
+            else tomllib.loads(f.read())
+        )
+
+        def _dump(obj, f):  # reference only dumps train_info.toml
+            json.dump(obj, open(os.devnull, "w"))
+            f.write("# train_info (json): " + json.dumps(obj, default=str) + "\n")
+
+        tm.dump = _dump
+        sys.modules["toml"] = tm
+    if "tqdm" not in sys.modules:
+        import importlib.machinery
+
+        tq = types.ModuleType("tqdm")
+        tq.tqdm = lambda it=None, *a, **k: it
+        # torch._dynamo introspects module specs of everything imported
+        tq.__spec__ = importlib.machinery.ModuleSpec("tqdm", None)
+        sys.modules["tqdm"] = tq
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+
+
+def run_ours(config_path: str, save_dir: str, epochs: int, num_iterations: int, seed: int):
+    from m6anet_tpu.scripts import train as tr
+
+    args = tr.argparser().parse_args(
+        [
+            "--train_config", config_path,
+            "--save_dir", save_dir,
+            "--device", "cpu",
+            "--epochs", str(epochs),
+            "--save_per_epoch", str(epochs),
+            "--num_iterations", str(num_iterations),
+            "--seed", str(seed),
+            "--n_processes", "1",
+            "--use_mesh", "off",
+        ]
+    )
+    tr.main(args)
+    train_results = json.load(open(os.path.join(save_dir, "train_results.json")))
+    val_results = json.load(open(os.path.join(save_dir, "val_results.json")))
+    return train_results, val_results
+
+
+def run_reference(config_path: str, save_dir: str, epochs: int, num_iterations: int, seed: int):
+    _install_reference_stubs()
+    import joblib
+
+    from m6anet.scripts import train as rtr  # noqa: E402 (reference source)
+
+    args = rtr.argparser().parse_args(
+        [
+            "--train_config", config_path,
+            "--save_dir", save_dir,
+            "--device", "cpu",
+            "--epochs", str(epochs),
+            "--save_per_epoch", str(epochs),
+            "--num_iterations", str(num_iterations),
+            "--seed", str(seed),
+            "--n_processes", "0",
+        ]
+    )
+    rtr.main(args)
+    train_results = joblib.load(os.path.join(save_dir, "train_results.joblib"))
+    val_results = joblib.load(os.path.join(save_dir, "val_results.joblib"))
+    return train_results, val_results
+
+
+def compare(epochs: int = 20, num_iterations: int = 5, seed: int = 25, workdir=None):
+    # jax backend must initialise before the reference imports torch
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.devices()
+
+    own_dir = tempfile.mkdtemp(dir=workdir, prefix="ours_")
+    ref_dir = tempfile.mkdtemp(dir=workdir, prefix="ref_")
+    config_path = os.path.join(own_dir, "train_config.toml")
+    with open(config_path, "w") as f:
+        f.write(TRAIN_CONFIG.format(root=DATA_DIR, norm=NORM_JOBLIB))
+
+    ours_train, ours_val = run_ours(config_path, own_dir, epochs, num_iterations, seed)
+    ref_train, ref_val = run_reference(config_path, ref_dir, epochs, num_iterations, seed)
+
+    def tail(d, k):
+        return float(d[k][-1])
+
+    report = {
+        "epochs": epochs,
+        "num_iterations": num_iterations,
+        "seed": seed,
+        "ours": {
+            "train_roc_auc": tail(ours_train, "roc_auc"),
+            "train_pr_auc": tail(ours_train, "pr_auc"),
+            "val_roc_auc": tail(ours_val, "roc_auc"),
+            "val_pr_auc": tail(ours_val, "pr_auc"),
+            "train_loss": tail(ours_train, "avg_loss"),
+            "val_loss": tail(ours_val, "avg_loss"),
+            "roc_trajectory": [round(float(x), 4) for x in ours_train["roc_auc"]],
+        },
+        "reference": {
+            "train_roc_auc": tail(ref_train, "roc_auc"),
+            "train_pr_auc": tail(ref_train, "pr_auc"),
+            "val_roc_auc": tail(ref_val, "roc_auc"),
+            "val_pr_auc": tail(ref_val, "pr_auc"),
+            "train_loss": tail(ref_train, "avg_loss"),
+            "val_loss": tail(ref_val, "avg_loss"),
+            "roc_trajectory": [round(float(x), 4) for x in ref_train["roc_auc"]],
+        },
+    }
+    shutil.rmtree(own_dir, ignore_errors=True)
+    shutil.rmtree(ref_dir, ignore_errors=True)
+    return report
+
+
+if __name__ == "__main__":
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    rep = compare(epochs=epochs)
+    print(json.dumps(rep, indent=2))
+    if len(sys.argv) > 2:
+        json.dump(rep, open(sys.argv[2], "w"), indent=2)
