@@ -69,12 +69,13 @@ def main():
 
     # Big batches keep the device busy per dispatch (~160 MB inputs); on the
     # CPU backend (no TPU attached) use a small shape so the bench stays
-    # quick.  Backend: the fused Pallas kernel (2026-08-19 local
-    # segment-reduction scatter) at precision f32x3 — the fastest
-    # configuration that passes the reference's golden contract on device
-    # (demo CLI run on the TPU: indiv max|diff| 8.0e-6 <= 1e-5, site 3.8e-3
-    # <= 1e-2, mod_ratio 4.6e-8; see PERFORMANCE.md).  Full-parity modes for
-    # comparison: fused f32 HIGHEST 1.16M sites/s, XLA f32 HIGHEST 1.157M.
+    # quick.  Backend: the transposed fused Pallas kernel (2026-08-20:
+    # reads on lanes, rank-2 embedding selection, k=15 layer at HIGHEST) at
+    # precision f32x3 — the fastest configuration that passes the
+    # reference's golden contract (demo: indiv max|diff| 6.5e-6 <= 1e-5,
+    # site 3.8e-3 <= 1e-2, mod_ratio 2.9e-8; see PERFORMANCE.md).  bf16
+    # runs 5.2M sites/s at site-level tolerance only; full-parity f32
+    # modes: fused ~1.2M, XLA 1.157M.
     if jax.default_backend() == "cpu":
         site_capacity, read_capacity, n_chain = 1024, 65536, 2
         backend, precision = "xla", "f32"  # pallas interpret mode is slow on CPU

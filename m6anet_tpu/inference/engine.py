@@ -128,16 +128,15 @@ def make_infer_step(
     if backend == "pallas_fused":
         import jax.numpy as jnp
 
-        from ..ops.encoder_kernel import prepare_fused_params
-        from ..ops.fused_infer_kernel import fused_inference
+        from ..ops.fused_infer_kernel import fused_inference_t, prepare_fused_params_t
         from ..ops.mc_kernel import site_probability_mc_pallas
 
         fused_dtype = {"bf16": jnp.bfloat16, "f32x3": "f32x3"}.get(precision, jnp.float32)
 
         @partial(jax.jit, donate_argnums=())
         def fused_step(params, features, kmer_ids, site_ids, offsets, counts, base_key):
-            fp = prepare_fused_params(params)
-            p, site_p, mod_ratio = fused_inference(
+            fp = prepare_fused_params_t(params)
+            p, site_p, mod_ratio = fused_inference_t(
                 fp, features, kmer_ids, site_ids, counts, threshold, n_samples,
                 interpret=interpret, compute_dtype=fused_dtype,
             )

@@ -128,6 +128,27 @@ def make_onehot_dot(compute_dtype):
     return dot
 
 
+def make_onehot_dot_rhs(compute_dtype):
+    """Like :func:`make_onehot_dot`, but for contractions whose RHS is the
+    0/1 one-hot (the transposed kernel layout): split the LHS hi/lo, cast
+    the one-hot to bfloat16 exactly — 2 MXU passes, no added error."""
+    if compute_dtype != "f32x3":
+        return make_parity_dot(compute_dtype)
+
+    def dot(a, b):
+        bf = jnp.bfloat16
+        b16 = b.astype(bf)  # exact: entries are 0/1
+        a_hi = a.astype(bf)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(bf)
+
+        def d(x, y):
+            return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+        return d(a_lo, b16) + d(a_hi, b16)
+
+    return dot
+
+
 def make_parity_dot(compute_dtype):
     """Precision policy: f32 runs every matmul at HIGHEST precision (6-pass
     f32 emulation) for parity with the released CPU-f32 models; the string

@@ -34,14 +34,16 @@ in VMEM until the last step.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .encoder_kernel import FusedEncoderParams, encoder_body, make_onehot_dot, make_parity_dot
+from ..models.blocks import BN_EPS
+from .encoder_kernel import (FusedEncoderParams, encoder_body, make_onehot_dot,
+                             make_onehot_dot_rhs, make_parity_dot)
 
 # 2048-read blocks exceed Mosaic's 16 MB scoped-VMEM budget once the
 # pipeline double-buffers the lane-padded narrow inputs (measured 17.2 MB);
@@ -200,9 +202,13 @@ def fused_inference(
         ),
         compiler_params=pltpu.CompilerParams(
             # blocks >= 2048 exceed Mosaic's default 16 MB scoped-VMEM budget
-            # (double-buffered lane-padded inputs); raise it only then so
-            # smaller blocks keep the conservative default
-            vmem_limit_bytes=(28 << 20) if block_reads >= 2048 else None,
+            # (double-buffered lane-padded narrow inputs ~17.2 MB at 2048);
+            # scale the budget with the block so bigger blocks — the main
+            # lever against per-grid-step overhead, measured ~7 us/step —
+            # can compile.  Smaller blocks keep the conservative default.
+            vmem_limit_bytes=(14 << 20) * (block_reads // 1024)
+            if block_reads >= 2048
+            else None,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * (n_feat * 150 + fp.t_all.shape[0] * 150 + 150 * 32 + 32)
@@ -216,3 +222,221 @@ def fused_inference(
         fp.w1x, fp.t_all, fp.b1, fp.w2, fp.b2, fp.w3, fp.b3, thr,
     )
     return p[:, 0], site_out[0, :site_capacity], site_out[1, :site_capacity]
+
+
+# --------------------------------------------------------------------------
+# Transposed-layout kernel (2026-08-20, round 3).
+#
+# Probes showed the original kernel is DMA-bound, not compute-bound: its
+# narrow per-read arrays (features (B,9), kmers (B,3), site ids (B,1),
+# probabilities (B,1)) each lane-pad to 128 in VMEM, so every batch moves
+# ~8 GB of padded tiles — removing the entire embedding path or the site
+# reduction did not change the step time (PERFORMANCE.md round-3 probes).
+#
+# This variant puts READS ON LANES: inputs arrive as (9, N) / (P, N) /
+# (1, N) rows (one XLA transpose outside the kernel — dense both sides),
+# activations are (channels, B) with only sublane padding, and the
+# embedding uses the rank-2 structure of the k-mer table: a block-diagonal
+# (2P, 66P) selector applied to the stacked one-hot picks embedding VALUES
+# exactly (one nonzero per column — no summation, so bf16 hi/lo selection
+# is exact in every precision mode), and the (2P)-wide result joins the
+# signal features in ONE k=15 matmul against the BN-folded W1 — replacing
+# the 198-wide contraction against premultiplied tables.
+# --------------------------------------------------------------------------
+
+
+class FusedEncoderParamsT(NamedTuple):
+    """Transposed, rank-2-factored parameter set."""
+
+    w1t: jnp.ndarray  # (150, 9 + 2P) BN-folded first linear, transposed
+    e3t: jnp.ndarray  # (2P, 66P) block-diagonal per-position embedding selector
+    b1t: jnp.ndarray  # (150, 1)
+    w2t: jnp.ndarray  # (32, 150)
+    b2t: jnp.ndarray  # (32, 1)
+    w3t: jnp.ndarray  # (1, 32)
+    b3t: jnp.ndarray  # (1, 1)
+
+
+def prepare_fused_params_t(params: Dict, n_features: int = 9) -> FusedEncoderParamsT:
+    w1 = jnp.asarray(params["block3"]["w"], jnp.float32)  # (9+2P, 150)
+    b1 = jnp.asarray(params["block3"]["b"], jnp.float32)
+    if "bn_scale" in params["block3"]:
+        scale = params["block3"]["bn_scale"] / jnp.sqrt(params["block3"]["bn_var"] + BN_EPS)
+        w1 = w1 * scale[None, :]
+        b1 = (b1 - params["block3"]["bn_mean"]) * scale + params["block3"]["bn_bias"]
+    emb = jnp.asarray(params["block1"]["embedding"], jnp.float32)  # (66, dim)
+    vocab, dim = emb.shape
+    n_positions = (w1.shape[0] - n_features) // dim
+    e3t = jnp.zeros((dim * n_positions, vocab * n_positions), jnp.float32)
+    for j in range(n_positions):
+        e3t = e3t.at[j * dim : (j + 1) * dim, j * vocab : (j + 1) * vocab].set(emb.T)
+    return FusedEncoderParamsT(
+        w1t=w1.T,
+        e3t=e3t,
+        b1t=b1[:, None],
+        w2t=jnp.asarray(params["block4"]["w"], jnp.float32).T,
+        b2t=jnp.asarray(params["block4"]["b"], jnp.float32)[:, None],
+        w3t=jnp.asarray(params["block5"]["w"], jnp.float32).T,
+        b3t=jnp.asarray(params["block5"]["b"], jnp.float32)[:, None],
+    )
+
+
+def _fused_infer_kernel_t(
+    xt_ref, kt_ref, sidt_ref, base_ref, counts_ref,
+    w1t_ref, e3t_ref, b1t_ref, w2t_ref, b2t_ref, w3t_ref, b3t_ref, thr_ref,
+    p_out, site_out,
+    *, n_samples: int, compute_dtype, probe=None,
+):
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    block = xt_ref.shape[1]
+    n_feat = xt_ref.shape[0]
+    n_pos = kt_ref.shape[0]
+    vocab_total = e3t_ref.shape[1]
+    vocab = vocab_total // n_pos
+
+    dot = make_parity_dot(compute_dtype)
+    onehot_dot = make_onehot_dot_rhs(compute_dtype)
+
+    @pl.when(step == 0)
+    def _init():
+        site_out[:] = jnp.zeros_like(site_out)
+
+    # ---- encoder, reads on lanes ----
+    rows = jax.lax.broadcasted_iota(jnp.int32, (vocab_total, block), 0)
+    onehot = jnp.zeros((vocab_total, block), jnp.float32)
+    for j in range(n_pos):
+        # k in [0, vocab): rows - j*vocab == k can only match inside band j
+        onehot += (rows - j * vocab == kt_ref[j, :][None, :]).astype(jnp.float32)
+    et = onehot_dot(e3t_ref[:], onehot)  # (2P, block) — exact row selection
+    xt = xt_ref[:]
+    # first layer runs at HIGHEST even in f32x3 mode: its k=15 contraction
+    # costs one MXU k-tile regardless of passes, and keeping it exact holds
+    # the whole-model f32x3 error inside the 1e-5 per-read golden tolerance
+    # (measured: 5e-6 with this split vs 1.05e-5 with all-f32x3)
+    dot1 = make_parity_dot(jnp.float32) if compute_dtype == "f32x3" else dot
+    h = (
+        dot1(w1t_ref[:, :n_feat], xt)
+        + dot1(w1t_ref[:, n_feat:], et)
+        + b1t_ref[:]
+    )
+    h = jnp.maximum(h, 0.0)
+    h = jnp.maximum(dot(w2t_ref[:], h) + b2t_ref[:], 0.0)
+    p = jax.nn.sigmoid(dot(w3t_ref[:], h) + b3t_ref[:])  # (1, block)
+    p_out[:] = p
+
+    if probe == "nosite":
+        @pl.when(step == n_steps - 1)
+        def _fake_finalize():
+            site_out[:] = jnp.zeros_like(site_out) + p[0, 0]
+
+        return
+
+    # ---- site accumulation ----
+    # same local contiguous segment reduction as the original kernel, fed by
+    # one (1, block) -> (block, 1) relayout per array per block
+    thr = thr_ref[0]
+    one_minus = jnp.transpose(1.0 - p)  # (block, 1)
+    hits = jnp.transpose((p >= thr).astype(jnp.float32))
+    sid_col = jnp.transpose(sidt_ref[:])  # (block, 1) i32
+    width = SUB + LANE
+    cols = jax.lax.broadcasted_iota(jnp.int32, (SUB, width), 1)
+    for c in range(block // SUB):
+        base = pl.multiple_of(base_ref[0, step * (block // SUB) + c], LANE)
+        local = sid_col[c * SUB : (c + 1) * SUB, :] - base  # (SUB, 1)
+        onehot_s = (cols == local).astype(jnp.float32)  # (SUB, width)
+        sums = jnp.sum(onehot_s * one_minus[c * SUB : (c + 1) * SUB], axis=0, keepdims=True)
+        nhit = jnp.sum(onehot_s * hits[c * SUB : (c + 1) * SUB], axis=0, keepdims=True)
+        chunk = jnp.concatenate([sums, nhit], axis=0)  # (2, width)
+        site_out[:, pl.ds(base, width)] += chunk
+
+    @pl.when(step == n_steps - 1)
+    def _finalize():
+        counts = jnp.maximum(counts_ref[:].astype(jnp.float32), 1.0)
+        mean_1mp = site_out[0:1, :] / counts
+        site_out[0:1, :] = 1.0 - mean_1mp**n_samples
+        site_out[1:2, :] = site_out[1:2, :] / counts
+
+
+def fused_inference_t(
+    fp: FusedEncoderParamsT,
+    features: jnp.ndarray,  # (N, 9) f32
+    kmer_ids: jnp.ndarray,  # (N, P) i32
+    site_ids: jnp.ndarray,  # (N,) i32, consecutive per pack_sites
+    counts: jnp.ndarray,  # (S,) i32
+    threshold: float,
+    n_samples: int = 20,
+    block_reads: int = 4096,
+    interpret: bool = False,
+    compute_dtype=jnp.float32,
+    probe: str | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Transposed-layout single-kernel inference step.
+
+    Same contract as :func:`fused_inference`; the input transposes happen
+    here in XLA (dense relayouts, ~2 ms/batch at production shapes — far
+    below the ~22 ms of padded-tile DMA they remove)."""
+    n = features.shape[0]
+    site_capacity = counts.shape[0]
+    block_reads = max(SUB, min(block_reads, n))
+    while n % block_reads != 0 and block_reads > SUB:
+        block_reads //= 2
+    if n % block_reads != 0 or block_reads % SUB != 0:
+        raise ValueError(
+            f"read capacity {n} must be a multiple of a power-of-two block >= {SUB}"
+        )
+    grid = (n // block_reads,)
+    n_feat = features.shape[1]
+    n_pos = kmer_ids.shape[1]
+    s_pad = -(-(site_capacity + SUB + LANE) // LANE) * LANE
+    thr = jnp.full((1,), threshold, jnp.float32)
+    xt = features.T  # (9, N)
+    kt = kmer_ids.T.astype(jnp.int32)  # (P, N)
+    sidt = site_ids.reshape(1, n)
+    bases = _align_down(site_ids[:: SUB].astype(jnp.int32)).reshape(1, n // SUB)
+    counts_pad = jnp.zeros((1, s_pad), counts.dtype).at[0, :site_capacity].set(counts)
+
+    kernel = functools.partial(
+        _fused_infer_kernel_t, n_samples=n_samples, compute_dtype=compute_dtype,
+        probe=probe,
+    )
+    p, site_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_feat, block_reads), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pos, block_reads), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_reads), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fp.w1t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fp.e3t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fp.b1t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fp.w2t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fp.b2t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fp.w3t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fp.b3t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_reads), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((2, s_pad), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(24 << 20) if block_reads >= 4096 else None,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * ((n_feat + 2 * n_pos) * 150 + 150 * 32 + 32),
+            bytes_accessed=n * (n_feat * 4 + n_pos * 4 + 8) + s_pad * 12,
+            transcendentals=n,
+        ),
+        interpret=interpret,
+    )(
+        xt, kt, sidt, bases, counts_pad,
+        fp.w1t, fp.e3t, fp.b1t, fp.w2t, fp.b2t, fp.w3t, fp.b3t, thr,
+    )
+    return p[0, :], site_out[0, :site_capacity], site_out[1, :site_capacity]

@@ -314,3 +314,45 @@ def test_fused_inference_kernel_large_site_capacity(production_model):
     )
     np.testing.assert_allclose(np.asarray(sp)[:s], sp_ref[:s], atol=1e-5)
     np.testing.assert_array_equal(np.asarray(mr)[:s], mr_ref[:s])
+
+
+def test_fused_inference_kernel_t_interpret(production_model):
+    """Transposed-layout single-kernel step == XLA reference path, in every
+    precision mode (round-3 kernel: reads on lanes, rank-2 embedding
+    selection; see fused_infer_kernel.py)."""
+    from m6anet_tpu.constants import DEFAULT_READ_THRESHOLD
+    from m6anet_tpu.ops.fused_infer_kernel import fused_inference_t, prepare_fused_params_t
+
+    model, params = production_model
+    fpt = prepare_fused_params_t(params)
+    rng = np.random.default_rng(11)
+    N, S = 1024, 64
+    X = rng.normal(size=(N, 9)).astype(np.float32)
+    K = rng.integers(0, 66, size=(N, 3)).astype(np.int32)
+    site_ids = np.full(N, S, np.int32)
+    counts = np.zeros(S, np.int32)
+    cursor = 0
+    for s in range(S):
+        n = int(rng.integers(5, 20))
+        if cursor + n > N:
+            break
+        site_ids[cursor : cursor + n] = s
+        counts[s] = n
+        cursor += n
+
+    p_ref = np.asarray(model.per_read_probability(params, {"X": jnp.asarray(X), "kmer": jnp.asarray(K)}))
+    sp_ref = np.asarray(
+        site_ops.site_probability_exact(jnp.asarray(p_ref), jnp.asarray(site_ids), jnp.asarray(counts), S, 20)
+    )
+    mr_ref = np.asarray(
+        site_ops.mod_ratio_exact(jnp.asarray(p_ref), jnp.asarray(site_ids), jnp.asarray(counts), S, DEFAULT_READ_THRESHOLD)
+    )
+    for dtype, tol in ((jnp.float32, 1e-6), ("f32x3", 2e-5)):
+        p, sp, mr = fused_inference_t(
+            fpt, jnp.asarray(X), jnp.asarray(K), jnp.asarray(site_ids), jnp.asarray(counts),
+            DEFAULT_READ_THRESHOLD, block_reads=256, interpret=True, compute_dtype=dtype,
+        )
+        np.testing.assert_allclose(np.asarray(p), p_ref, atol=tol)
+        np.testing.assert_allclose(np.asarray(sp), sp_ref, atol=max(tol, 1e-5))
+        if dtype == jnp.float32:
+            np.testing.assert_array_equal(np.asarray(mr), mr_ref)

@@ -85,7 +85,30 @@ def main():
     f32 = jnp.float32
 
     # ---- build the single-batch step for this variant ----
-    if variant.startswith("fused"):
+    if variant.startswith("fusedt"):
+        from m6anet_tpu.ops.fused_infer_kernel import fused_inference_t, prepare_fused_params_t
+
+        if "bf16" in variant:
+            dt = jnp.bfloat16
+        elif "f32x3" in variant:
+            dt = "f32x3"
+        else:
+            dt = jnp.float32
+        block = 4096
+        for tok in variant.split("_"):
+            if tok.startswith("b") and tok[1:].isdigit():
+                block = int(tok[1:])
+        probe = "nosite" if "nosite" in variant else None
+
+        def step(params, feats, kmers, sids, offs, cnts):
+            fpt = prepare_fused_params_t(params)
+            p, sp, mr = fused_inference_t(
+                fpt, feats, kmers, sids, cnts, thr, 20, block_reads=block,
+                compute_dtype=dt, probe=probe,
+            )
+            return p, sp, mr
+
+    elif variant.startswith("fused"):
         from m6anet_tpu.ops.encoder_kernel import prepare_fused_params
         from m6anet_tpu.ops.fused_infer_kernel import fused_inference
 
