@@ -72,6 +72,10 @@ def main():
         # MC-1000 resamples ~310x the real read volume; smaller batches keep
         # the per-chunk gather buffers inside this relay slice's memory
         site_capacity, read_capacity, n_chain = 8192, 524288, 2
+    if variant.startswith("mcstep"):
+        # the engine's production composition: fused encoder kernel + MC
+        # kernel in one program, at the TPU-default batch capacities
+        site_capacity, read_capacity, n_chain = 16384, 1048576, 2
 
     with open(DEFAULT_MODEL_CONFIG, "rb") as f:
         config = tomllib.load(f)
@@ -152,6 +156,17 @@ def main():
             sp = site_ops.site_probability_exact(p, sids, cnts, site_capacity, 20)
             mr = site_ops.mod_ratio_exact(p, sids, cnts, site_capacity, thr)
             return p, sp, mr
+
+    elif variant.startswith("mcstep"):
+        from m6anet_tpu.inference.engine import make_infer_step
+
+        step_fn = make_infer_step(
+            model, site_capacity, thr, 20, "mc", 1000, "pallas_fused", "f32x3",
+        )
+        base_key = jnp.zeros((2,), jnp.uint32)
+
+        def step(params, feats, kmers, sids, offs, cnts):
+            return step_fn(params, feats, kmers, sids, offs, cnts, base_key)
 
     elif variant.startswith("mc"):
         from m6anet_tpu.ops import site_ops

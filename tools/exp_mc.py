@@ -1,7 +1,7 @@
 """Experiment: MC site-probability variants on device (execution-verified).
 
 Usage: python tools/exp_mc.py <variant> [n_timed]
-Variants: old | sharedu | sharedu_prod | sharedu_log
+Variants: sharedu | sharedu_log | pallasmc
 
 Methodology identical to tools/bench_variants.py (chained data-dependent
 lax.scan + tiny fetch; the relay's block_until_ready acks on enqueue).
@@ -41,7 +41,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    site_capacity, read_capacity = 8192, 524288
+    site_capacity = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
+    read_capacity = int(sys.argv[4]) if len(sys.argv) > 4 else 524288
     n_iters, n_samples = 1000, 20
     n_chain = 2
 
@@ -49,22 +50,7 @@ def main():
     p_d, off_d, cnt_d = jnp.asarray(p), jnp.asarray(offsets), jnp.asarray(counts)
     f32 = jnp.float32
 
-    if variant == "old":
-        from m6anet_tpu.ops import site_ops
-
-        keys = np.asarray(
-            jax.jit(site_ops.make_site_keys, backend="cpu")(
-                np.array([0, 0], np.uint32), np.arange(site_capacity, dtype=np.int32)
-            )
-        )
-        keys_d = jnp.asarray(keys)
-
-        def mc(pp):
-            return site_ops.site_probability_mc(
-                pp, off_d, cnt_d, keys_d, n_iters=n_iters, n_samples=n_samples
-            )
-
-    elif variant.startswith("sharedu"):
+    if variant.startswith("sharedu"):
         base_key = jnp.zeros((2,), jnp.uint32)
         chunk = max(1, min(n_iters, (64 << 20) // max(1, site_capacity * n_samples * 8)))
         n_chunks, rem = divmod(n_iters, chunk)
