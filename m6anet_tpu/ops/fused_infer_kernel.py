@@ -111,9 +111,13 @@ def _fused_infer_kernel(
         # pl.multiple_of lets Mosaic prove the lane-offset store is aligned)
         base = pl.multiple_of(base_ref[0, step * (block // SUB) + c], LANE)
         local = sid_ref[c * SUB : (c + 1) * SUB, :] - base  # (SUB, 1)
-        onehot = (cols == local).astype(jnp.float32)  # (SUB, width)
-        sums = jnp.sum(onehot * one_minus[c * SUB : (c + 1) * SUB], axis=0, keepdims=True)
-        nhit = jnp.sum(onehot * hits[c * SUB : (c + 1) * SUB], axis=0, keepdims=True)
+        eq = cols == local  # (SUB, width)
+        sums = jnp.sum(
+            jnp.where(eq, one_minus[c * SUB : (c + 1) * SUB], 0.0), axis=0, keepdims=True
+        )
+        nhit = jnp.sum(
+            jnp.where(eq, hits[c * SUB : (c + 1) * SUB], 0.0), axis=0, keepdims=True
+        )
         chunk = jnp.concatenate([sums, nhit], axis=0)  # (2, width)
         site_out[:, pl.ds(base, width)] += chunk
 
@@ -303,12 +307,27 @@ def _fused_infer_kernel_t(
         site_out[:] = jnp.zeros_like(site_out)
 
     # ---- encoder, reads on lanes ----
-    rows = jax.lax.broadcasted_iota(jnp.int32, (vocab_total, block), 0)
-    onehot = jnp.zeros((vocab_total, block), jnp.float32)
-    for j in range(n_pos):
-        # k in [0, vocab): rows - j*vocab == k can only match inside band j
-        onehot += (rows - j * vocab == kt_ref[j, :][None, :]).astype(jnp.float32)
-    et = onehot_dot(e3t_ref[:], onehot)  # (2P, block) — exact row selection
+    # banded embedding build: the selector is block-diagonal with identical
+    # emb.T bands, so instead of one stacked (66P, block) one-hot (P
+    # full-height iota-compares + adds), build a (66, block) one-hot per
+    # position and contract each against the shared (dim, 66) band.  Output
+    # is bit-identical (exactly one nonzero per column per band; the stacked
+    # contraction only ever added exact zeros from the other bands) at ~6x
+    # less VPU build work and k=66 instead of k=198 per MXU pass.
+    dim = e3t_ref.shape[0] // n_pos
+    embT = e3t_ref[:][:dim, :vocab]  # (dim, vocab) == emb.T (band 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (vocab, block), 0)
+    # 0/1 is exact in bfloat16, so in the split-precision modes the one-hot
+    # is built directly in the dot's native dtype (skips a (66, block)
+    # convert per position; the dot's internal astype becomes a no-op)
+    oh_dtype = jnp.float32 if compute_dtype == jnp.float32 else jnp.bfloat16
+    et = jnp.concatenate(
+        [
+            onehot_dot(embT, (rows == kt_ref[j, :][None, :]).astype(oh_dtype))
+            for j in range(n_pos)
+        ],
+        axis=0,
+    )  # (2P, block) — exact row selection
     xt = xt_ref[:]
     # first layer runs at HIGHEST even in f32x3 mode: its k=15 contraction
     # costs one MXU k-tile regardless of passes, and keeping it exact holds
@@ -336,17 +355,24 @@ def _fused_infer_kernel_t(
     # same local contiguous segment reduction as the original kernel, fed by
     # one (1, block) -> (block, 1) relayout per array per block
     thr = thr_ref[0]
-    one_minus = jnp.transpose(1.0 - p)  # (block, 1)
-    hits = jnp.transpose((p >= thr).astype(jnp.float32))
+    p_col = jnp.transpose(p)  # (block, 1) — one relayout, both values derive
+    one_minus = 1.0 - p_col
+    hits = (p_col >= thr).astype(jnp.float32)
     sid_col = jnp.transpose(sidt_ref[:])  # (block, 1) i32
     width = SUB + LANE
     cols = jax.lax.broadcasted_iota(jnp.int32, (SUB, width), 1)
     for c in range(block // SUB):
         base = pl.multiple_of(base_ref[0, step * (block // SUB) + c], LANE)
         local = sid_col[c * SUB : (c + 1) * SUB, :] - base  # (SUB, 1)
-        onehot_s = (cols == local).astype(jnp.float32)  # (SUB, width)
-        sums = jnp.sum(onehot_s * one_minus[c * SUB : (c + 1) * SUB], axis=0, keepdims=True)
-        nhit = jnp.sum(onehot_s * hits[c * SUB : (c + 1) * SUB], axis=0, keepdims=True)
+        eq = cols == local  # (SUB, width) — exactly one hit per row
+        # select instead of convert+multiply: one VPU op per value per
+        # element, and the 0/1 materialization disappears entirely
+        sums = jnp.sum(
+            jnp.where(eq, one_minus[c * SUB : (c + 1) * SUB], 0.0), axis=0, keepdims=True
+        )
+        nhit = jnp.sum(
+            jnp.where(eq, hits[c * SUB : (c + 1) * SUB], 0.0), axis=0, keepdims=True
+        )
         chunk = jnp.concatenate([sums, nhit], axis=0)  # (2, width)
         site_out[:, pl.ds(base, width)] += chunk
 
@@ -366,7 +392,9 @@ def fused_inference_t(
     counts: jnp.ndarray,  # (S,) i32
     threshold: float,
     n_samples: int = 20,
-    block_reads: int = 4096,
+    # 8192 benches ~6% over 4096 (fewer grid steps); 16384's unrolled
+    # 128-subchunk loop takes Mosaic >10 min to compile — not worth it
+    block_reads: int = 8192,
     interpret: bool = False,
     compute_dtype=jnp.float32,
     probe: str | None = None,
@@ -427,7 +455,13 @@ def fused_inference_t(
             jax.ShapeDtypeStruct((2, s_pad), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(24 << 20) if block_reads >= 4096 else None,
+            # scale the scoped-VMEM budget with the block: fewer grid steps
+            # amortize the ~1.4 us/step overhead, and v5e has 128 MB VMEM —
+            # the transients (hi/lo splits, (66, block) one-hots) grow
+            # linearly with the block
+            vmem_limit_bytes=(24 << 20) * (block_reads // 4096)
+            if block_reads >= 4096
+            else None,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * ((n_feat + 2 * n_pos) * 150 + 150 * 32 + 32),

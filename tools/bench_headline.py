@@ -105,6 +105,11 @@ def main():
     ap.add_argument("--device", default="cpu")
     ap.add_argument("--n_processes", type=int, default=os.cpu_count())
     ap.add_argument("--mc", action="store_true", help="MC site probabilities (1000 iters) instead of exact")
+    ap.add_argument("--read_capacity", type=int, default=None,
+                    help="override the CLI's batch read capacity (fewer, "
+                         "bigger batches amortize the relay's flat per-fetch "
+                         "device-to-host latency)")
+    ap.add_argument("--site_capacity", type=int, default=None)
     ap.add_argument("--repeat", type=int, default=1,
                     help="time N runs and report median alongside best "
                          "(host timing on this shared VM varies ~3x)")
@@ -125,6 +130,10 @@ def main():
     ]
     if args.mc:
         cmd += ["--site_proba_method", "mc", "--num_iterations", "1000"]
+    if args.read_capacity:
+        cmd += ["--read_capacity", str(args.read_capacity)]
+    if args.site_capacity:
+        cmd += ["--site_capacity", str(args.site_capacity)]
     env = dict(os.environ, PYTHONPATH=REPO + ":/root/.axon_site")
     times = []
     for _ in range(max(1, args.repeat)):
