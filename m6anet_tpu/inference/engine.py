@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import Optional, Tuple
 
@@ -194,6 +195,18 @@ def make_infer_step(
     return step
 
 
+def _fetch_result(result):
+    """Device->host transfer of one batch's outputs (runs on a fetch thread).
+
+    On the axon relay each fetch costs ~1.9 s of latency regardless of size
+    (PERFORMANCE.md full-scale table); running the fetches of in-flight
+    batches concurrently on a small thread pool overlaps those latencies
+    with each other, with device compute and with CSV rendering — the
+    round-3 full-scale bottleneck (15.3 s of a 23 s wall was 8 *serial*
+    per-batch fetches)."""
+    return tuple(np.asarray(x) for x in result)
+
+
 def _write_batch(batch: SiteBatch, p, site_p, mod_ratio, f_site, f_indiv):
     from ..native import native_render_indiv_csv_batch
 
@@ -260,6 +273,7 @@ def run_inference(
     resume: bool = False,
     host_shard: Optional[Tuple[int, int]] = None,
     n_threads: int = 1,
+    fetch_threads: int = 4,
 ) -> None:
     """Run inference over every site of the dataset and write both CSVs.
 
@@ -365,7 +379,9 @@ def run_inference(
             yield site
 
     # indiv file is binary: its rows are rendered natively as bytes
-    with open(site_path, file_mode, encoding="utf-8") as f_site, open(
+    with ThreadPoolExecutor(
+        max_workers=max(1, fetch_threads), thread_name_prefix="m6anet-fetch"
+    ) as fetch_pool, open(site_path, file_mode, encoding="utf-8") as f_site, open(
         indiv_path, file_mode + "b"
     ) as f_indiv:
         if file_mode == "w":
@@ -373,11 +389,15 @@ def run_inference(
             f_indiv.write(INDIV_HEADER.encode())
 
         inflight: deque = deque()
+        # in-flight batches bound device memory AND set how many d2h fetches
+        # can overlap; outputs are O(reads) floats so even 8 batches at the
+        # 1M-read TPU capacity hold <50 MB of results
+        max_inflight = max(pipeline_depth, fetch_threads)
 
         def drain_one():
             batch, fut = inflight.popleft()
             with timer.stage("write"):
-                _write_batch(batch, *fut, f_site=f_site, f_indiv=f_indiv)
+                _write_batch(batch, *fut.result(), f_site=f_site, f_indiv=f_indiv)
 
         from ..data.prefetch import threaded_iter
 
@@ -415,8 +435,15 @@ def run_inference(
                         jax.device_put(batch.counts, repl),
                     )
                 result = step(params, *args, base_key)
-                inflight.append((batch, result))
-            if len(inflight) >= pipeline_depth:
+                for r in result:
+                    # hint the runtime to start the transfer as soon as the
+                    # program finishes (no-op where unsupported)
+                    try:
+                        r.copy_to_host_async()
+                    except Exception:
+                        pass
+                inflight.append((batch, fetch_pool.submit(_fetch_result, result)))
+            if len(inflight) >= max_inflight:
                 drain_one()
         while inflight:
             drain_one()

@@ -210,7 +210,7 @@ def fused_inference(
             # scale the budget with the block so bigger blocks — the main
             # lever against per-grid-step overhead, measured ~7 us/step —
             # can compile.  Smaller blocks keep the conservative default.
-            vmem_limit_bytes=(14 << 20) * (block_reads // 1024)
+            vmem_limit_bytes=min((14 << 20) * (block_reads // 1024), 96 << 20)
             if block_reads >= 2048
             else None,
         ),
@@ -253,7 +253,7 @@ class FusedEncoderParamsT(NamedTuple):
     """Transposed, rank-2-factored parameter set."""
 
     w1t: jnp.ndarray  # (150, 9 + 2P) BN-folded first linear, transposed
-    e3t: jnp.ndarray  # (2P, 66P) block-diagonal per-position embedding selector
+    embt: jnp.ndarray  # (dim, 66) embedding transposed — the per-position band
     b1t: jnp.ndarray  # (150, 1)
     w2t: jnp.ndarray  # (32, 150)
     b2t: jnp.ndarray  # (32, 1)
@@ -270,13 +270,16 @@ def prepare_fused_params_t(params: Dict, n_features: int = 9) -> FusedEncoderPar
         b1 = (b1 - params["block3"]["bn_mean"]) * scale + params["block3"]["bn_bias"]
     emb = jnp.asarray(params["block1"]["embedding"], jnp.float32)  # (66, dim)
     vocab, dim = emb.shape
-    n_positions = (w1.shape[0] - n_features) // dim
-    e3t = jnp.zeros((dim * n_positions, vocab * n_positions), jnp.float32)
-    for j in range(n_positions):
-        e3t = e3t.at[j * dim : (j + 1) * dim, j * vocab : (j + 1) * vocab].set(emb.T)
+    if (w1.shape[0] - n_features) % dim != 0:
+        raise ValueError(
+            f"w1 input width {w1.shape[0]} is not {n_features} + P*{dim}"
+        )
+    # every position uses the SAME embedding band (the conceptual selector is
+    # block-diagonal with identical emb.T blocks), so only the band ships —
+    # the kernel applies it per position against that position's one-hot
     return FusedEncoderParamsT(
         w1t=w1.T,
-        e3t=e3t,
+        embt=emb.T,
         b1t=b1[:, None],
         w2t=jnp.asarray(params["block4"]["w"], jnp.float32).T,
         b2t=jnp.asarray(params["block4"]["b"], jnp.float32)[:, None],
@@ -287,7 +290,7 @@ def prepare_fused_params_t(params: Dict, n_features: int = 9) -> FusedEncoderPar
 
 def _fused_infer_kernel_t(
     xt_ref, kt_ref, sidt_ref, base_ref, counts_ref,
-    w1t_ref, e3t_ref, b1t_ref, w2t_ref, b2t_ref, w3t_ref, b3t_ref, thr_ref,
+    w1t_ref, embt_ref, b1t_ref, w2t_ref, b2t_ref, w3t_ref, b3t_ref, thr_ref,
     p_out, site_out,
     *, n_samples: int, compute_dtype, probe=None,
 ):
@@ -296,8 +299,7 @@ def _fused_infer_kernel_t(
     block = xt_ref.shape[1]
     n_feat = xt_ref.shape[0]
     n_pos = kt_ref.shape[0]
-    vocab_total = e3t_ref.shape[1]
-    vocab = vocab_total // n_pos
+    vocab = embt_ref.shape[1]
 
     dot = make_parity_dot(compute_dtype)
     onehot_dot = make_onehot_dot_rhs(compute_dtype)
@@ -307,15 +309,14 @@ def _fused_infer_kernel_t(
         site_out[:] = jnp.zeros_like(site_out)
 
     # ---- encoder, reads on lanes ----
-    # banded embedding build: the selector is block-diagonal with identical
-    # emb.T bands, so instead of one stacked (66P, block) one-hot (P
-    # full-height iota-compares + adds), build a (66, block) one-hot per
+    # banded embedding build: the conceptual selector is block-diagonal with
+    # identical emb.T bands, so instead of one stacked (66P, block) one-hot
+    # (P full-height iota-compares + adds), build a (66, block) one-hot per
     # position and contract each against the shared (dim, 66) band.  Output
     # is bit-identical (exactly one nonzero per column per band; the stacked
     # contraction only ever added exact zeros from the other bands) at ~6x
     # less VPU build work and k=66 instead of k=198 per MXU pass.
-    dim = e3t_ref.shape[0] // n_pos
-    embT = e3t_ref[:][:dim, :vocab]  # (dim, vocab) == emb.T (band 0)
+    embT = embt_ref[:]  # (dim, vocab) == emb.T
     rows = jax.lax.broadcasted_iota(jnp.int32, (vocab, block), 0)
     # 0/1 is exact in bfloat16, so in the split-precision modes the one-hot
     # is built directly in the dot's native dtype (skips a (66, block)
@@ -328,17 +329,17 @@ def _fused_infer_kernel_t(
         ],
         axis=0,
     )  # (2P, block) — exact row selection
-    xt = xt_ref[:]
     # first layer runs at HIGHEST even in f32x3 mode: its k=15 contraction
     # costs one MXU k-tile regardless of passes, and keeping it exact holds
     # the whole-model f32x3 error inside the 1e-5 per-read golden tolerance
-    # (measured: 5e-6 with this split vs 1.05e-5 with all-f32x3)
+    # (measured: 5e-6 with this split vs 1.05e-5 with all-f32x3).
+    # Signal features and selected embeddings are concatenated on sublanes
+    # so the whole layer is ONE k=15 contraction (round 4): separate k=9
+    # and k=6 dots each paid a full 128-wide MXU k-tile — at HIGHEST's
+    # 6 passes that split was ~58% of the f32x3 step's MXU tiles.
     dot1 = make_parity_dot(jnp.float32) if compute_dtype == "f32x3" else dot
-    h = (
-        dot1(w1t_ref[:, :n_feat], xt)
-        + dot1(w1t_ref[:, n_feat:], et)
-        + b1t_ref[:]
-    )
+    xin = jnp.concatenate([xt_ref[:], et], axis=0)  # (9 + 2P, block)
+    h = dot1(w1t_ref[:], xin) + b1t_ref[:]
     h = jnp.maximum(h, 0.0)
     h = jnp.maximum(dot(w2t_ref[:], h) + b2t_ref[:], 0.0)
     p = jax.nn.sigmoid(dot(w3t_ref[:], h) + b3t_ref[:])  # (1, block)
@@ -351,37 +352,43 @@ def _fused_infer_kernel_t(
 
         return
 
-    # ---- site accumulation ----
-    # same local contiguous segment reduction as the original kernel, fed by
-    # one (1, block) -> (block, 1) relayout per array per block
+    # ---- site accumulation (MXU, round 4) ----
+    # The round-3 VPU loop (eq one-hot + two where/sum sublane reductions)
+    # cost ~170 vector ops per 128-read sub-chunk; this formulation contracts
+    # the same (SUB, width) one-hot against a 4-row bf16 operand on the MXU
+    # instead (~2 MXU tiles + the eq build per sub-chunk).  one_minus is
+    # split hi+mid+lo into three bf16 rows — 24 recovered mantissa bits
+    # ≈ f32, so site sums stay inside the f32-parity tolerance — and hits
+    # are 0/1 with counts <= SUB, so every product and f32 accumulation is
+    # exact: mod_ratio remains bit-identical to the XLA path.  Bonus: p is
+    # consumed in row layout, removing the per-block (1,B)->(B,1) relayout.
     thr = thr_ref[0]
-    p_col = jnp.transpose(p)  # (block, 1) — one relayout, both values derive
-    one_minus = 1.0 - p_col
-    hits = (p_col >= thr).astype(jnp.float32)
-    sid_col = jnp.transpose(sidt_ref[:])  # (block, 1) i32
+    one_minus = 1.0 - p  # (1, block) f32
+    om_hi = one_minus.astype(jnp.bfloat16)
+    r1 = one_minus - om_hi.astype(jnp.float32)
+    om_mid = r1.astype(jnp.bfloat16)
+    om_lo = (r1 - om_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    hits = (p >= thr).astype(jnp.bfloat16)
+    a_rows = jnp.concatenate([om_hi, om_mid, om_lo, hits], axis=0)  # (4, block)
+    sid_col = jnp.transpose(sidt_ref[:])  # (block, 1) i32 — the one relayout
     width = SUB + LANE
     cols = jax.lax.broadcasted_iota(jnp.int32, (SUB, width), 1)
     for c in range(block // SUB):
         base = pl.multiple_of(base_ref[0, step * (block // SUB) + c], LANE)
         local = sid_col[c * SUB : (c + 1) * SUB, :] - base  # (SUB, 1)
-        eq = cols == local  # (SUB, width) — exactly one hit per row
-        # select instead of convert+multiply: one VPU op per value per
-        # element, and the 0/1 materialization disappears entirely
-        sums = jnp.sum(
-            jnp.where(eq, one_minus[c * SUB : (c + 1) * SUB], 0.0), axis=0, keepdims=True
-        )
-        nhit = jnp.sum(
-            jnp.where(eq, hits[c * SUB : (c + 1) * SUB], 0.0), axis=0, keepdims=True
-        )
-        chunk = jnp.concatenate([sums, nhit], axis=0)  # (2, width)
-        site_out[:, pl.ds(base, width)] += chunk
+        eq = (cols == local).astype(jnp.bfloat16)  # (SUB, width), one hit/row
+        contrib = jnp.dot(
+            a_rows[:, c * SUB : (c + 1) * SUB], eq,
+            preferred_element_type=jnp.float32,
+        )  # (4, width) f32: [om_hi, om_mid, om_lo, hits] segment sums
+        site_out[:, pl.ds(base, width)] += contrib
 
     @pl.when(step == n_steps - 1)
     def _finalize():
         counts = jnp.maximum(counts_ref[:].astype(jnp.float32), 1.0)
-        mean_1mp = site_out[0:1, :] / counts
-        site_out[0:1, :] = 1.0 - mean_1mp**n_samples
-        site_out[1:2, :] = site_out[1:2, :] / counts
+        sums = site_out[0:1, :] + site_out[1:2, :] + site_out[2:3, :]
+        site_out[0:1, :] = 1.0 - (sums / counts) ** n_samples
+        site_out[1:2, :] = site_out[3:4, :] / counts
 
 
 def fused_inference_t(
@@ -438,7 +445,7 @@ def fused_inference_t(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(fp.w1t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(fp.e3t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fp.embt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(fp.b1t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(fp.w2t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(fp.b2t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -448,18 +455,23 @@ def fused_inference_t(
         ],
         out_specs=(
             pl.BlockSpec((1, block_reads), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            # 4 rows: hi/mid/lo one_minus partial sums + hit counts; the
+            # finalize step folds them into (site_p, mod_ratio) in rows 0-1
+            pl.BlockSpec((4, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((2, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((4, s_pad), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             # scale the scoped-VMEM budget with the block: fewer grid steps
             # amortize the ~1.4 us/step overhead, and v5e has 128 MB VMEM —
             # the transients (hi/lo splits, (66, block) one-hots) grow
             # linearly with the block
-            vmem_limit_bytes=(24 << 20) * (block_reads // 4096)
+            # clamped at 96 MB: v5e has 128 MB physical VMEM and an unclamped
+            # linear scale would request >128 MB at block_reads >= 16384,
+            # failing compile with an opaque Mosaic error
+            vmem_limit_bytes=min((24 << 20) * (block_reads // 4096), 96 << 20)
             if block_reads >= 4096
             else None,
         ),
@@ -471,6 +483,6 @@ def fused_inference_t(
         interpret=interpret,
     )(
         xt, kt, sidt, bases, counts_pad,
-        fp.w1t, fp.e3t, fp.b1t, fp.w2t, fp.b2t, fp.w3t, fp.b3t, thr,
+        fp.w1t, fp.embt, fp.b1t, fp.w2t, fp.b2t, fp.w3t, fp.b3t, thr,
     )
     return p[0, :], site_out[0, :site_capacity], site_out[1, :site_capacity]

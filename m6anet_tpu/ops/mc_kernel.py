@@ -26,10 +26,19 @@ Design (2026-08-20, round 3):
   per-site window matrix.  KT entries are small integers (exact in bfloat16),
   so a 2-pass hi/lo split of l gives ~f32 accuracy at 2 MXU passes.
   Then ``site_p = 1 - mean_t exp(S_t)``.
+* **Chunked W (round 4).** Both the rebuild and the matvec walk only
+  ``ceil(count/128)`` 128-row chunks of the W window, not the full
+  read_cap: rebuild VPU traffic and matvec MXU k-tiles scale with each
+  site's REAL read count.  At the HEK293T count distribution (mean ~84
+  reads/site, cap 1024) that is ~8x less work than the round-3 kernel,
+  with bit-identical semantics (rows beyond a site's ceiling chunk are
+  provably zero: counts are sorted ascending, so rebuilds only ever extend
+  the written prefix over the step-0 zero fill).
 
-Cost per 8192-site batch at n_iters=1000: ~2 GFLOP of matvec + ~12 G VPU
-ops of K builds, versus 164M random HBM gathers for the XLA fallback
-(m6anet_tpu/ops/site_ops.py::site_probability_mc).
+Cost per 8192-site batch at n_iters=1000 (round-3 full-W numbers were
+~2 GFLOP of matvec + ~12 G VPU ops of K builds): both now scale by
+mean(ceil(c/128)*128)/W, versus 164M random HBM gathers for the XLA
+fallback (m6anet_tpu/ops/site_ops.py::site_probability_mc).
 """
 from __future__ import annotations
 
@@ -54,6 +63,21 @@ def _mc_kernel(
 ):
     i = pl.program_id(0)
     c = counts_ref[i]
+    # chunked-W (round 4): both the histogram rebuild and the matvec walk
+    # only ceil(count/128) 128-row chunks instead of the full W=read_cap
+    # window.  Counts are sorted ascending and the HEK293T-shape read-count
+    # distribution has most sites under 128 reads, so the dominant costs —
+    # ~W*T VPU ops per rebuild and W/128 MXU k-tiles per matvec — drop by
+    # the cap/count ratio (~8x at the production shapes).  Rows at or above
+    # a site's ceil-chunk boundary are never written after the step-0 zero
+    # fill (ascending counts only ever extend the written prefix), and
+    # within the last chunk rows >= c get exact zeros from the compare, so
+    # skipping them is exact, not approximate.
+    wc = (c + LANE - 1) // LANE  # chunks this site actually needs
+
+    @pl.when(i == 0)
+    def _zero_kt():
+        kt_ref[:] = jnp.zeros_like(kt_ref)
 
     # rebuild the histogram only when the (sorted) count changes
     prev_c = counts_ref[jnp.maximum(i, 1) - 1]
@@ -65,21 +89,39 @@ def _mc_kernel(
         # sites clamp to -1, matching no row — KT all zero, exp(0)=1, and
         # the wrapper masks them out anyway
         idx = jnp.minimum((u_ref[:] * cf).astype(jnp.int32), c - 1)  # (ns, T)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0)
-        acc = jnp.zeros((W, T), jnp.float32)
-        for j in range(n_samples):
-            acc += (rows == idx[j, :][None, :]).astype(jnp.float32)
-        kt_ref[:] = acc.astype(jnp.bfloat16)  # counts <= ns: exact in bf16
+        rows = jax.lax.broadcasted_iota(jnp.int32, (LANE, T), 0)
 
-    # clamp: p==1.0 gives log1p(-1)=-inf, and 0 * -inf would NaN through the
-    # matmul for reads that are never drawn
-    l = jnp.maximum(jnp.log1p(-p_ref[0]), -1e4)  # (1, W)
-    l_hi = l.astype(jnp.bfloat16)
-    l_lo = (l - l_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    kt = kt_ref[:]
-    s_log = jnp.dot(l_hi, kt, preferred_element_type=jnp.float32) + jnp.dot(
-        l_lo, kt, preferred_element_type=jnp.float32
-    )  # (1, T)
+        def build_chunk(k, _):
+            off = pl.multiple_of(k * LANE, LANE)
+            rk = rows + off
+            acc = jnp.zeros((LANE, T), jnp.float32)
+            for j in range(n_samples):
+                acc += (rk == idx[j, :][None, :]).astype(jnp.float32)
+            kt_ref[pl.ds(off, LANE), :] = acc.astype(jnp.bfloat16)  # <= ns: exact
+            return 0
+
+        jax.lax.fori_loop(0, wc, build_chunk, 0)
+
+    # chunked matvec: S_t = sum_k l_k @ KT_k over the site's real chunks.
+    # p_ref is zero beyond the site's count (dense_p pads with zeros), so
+    # l = log1p(-0) = 0 there — untouched chunks would contribute nothing
+    # anyway; skipping them saves the MXU k-tiles.
+    def mat_chunk(k, s_acc):
+        off = pl.multiple_of(k * LANE, LANE)
+        pk = p_ref[0, :, pl.ds(off, LANE)]  # (1, LANE)
+        # clamp: p==1.0 gives log1p(-1)=-inf, and 0 * -inf would NaN
+        # through the matmul for reads that are never drawn
+        l = jnp.maximum(jnp.log1p(-pk), -1e4)
+        l_hi = l.astype(jnp.bfloat16)
+        l_lo = (l - l_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ktc = kt_ref[pl.ds(off, LANE), :]  # (LANE, T)
+        return (
+            s_acc
+            + jnp.dot(l_hi, ktc, preferred_element_type=jnp.float32)
+            + jnp.dot(l_lo, ktc, preferred_element_type=jnp.float32)
+        )
+
+    s_log = jax.lax.fori_loop(0, wc, mat_chunk, jnp.zeros((1, T), jnp.float32))
     sum_exp = jnp.sum(jnp.exp(s_log))
 
     # accumulate this site's scalar into the whole-batch resident output row

@@ -7,7 +7,11 @@ merge (m6anet_tpu/scripts/inference.py) — the code path a multi-host TPU pod
 runs, executed with local processes (SURVEY.md §2.2).
 
 Usage: python distributed_worker.py <coordinator> <num_processes> <process_id>
-       <input_dir> <out_dir>
+       <input_dir> <out_dir> [backend] [site_proba_method]
+
+``backend`` defaults to auto (xla on CPU); passing ``pallas_fused`` runs
+the fused Pallas kernels in interpret mode inside the distributed path —
+the combination a multi-host TPU pod runs in production.
 """
 import os
 import sys
@@ -15,6 +19,8 @@ import sys
 
 def main():
     coordinator, num_processes, process_id, input_dir, out_dir = sys.argv[1:6]
+    backend = sys.argv[6] if len(sys.argv) > 6 else "auto"
+    method = sys.argv[7] if len(sys.argv) > 7 else "mc"
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
@@ -39,9 +45,10 @@ def main():
             "--out_dir", out_dir,
             "--device", "cpu",
             "--n_processes", "1",
-            "--site_proba_method", "mc",
+            "--site_proba_method", method,
             "--num_iterations", "50",
             "--seed", "3",
+            "--backend", backend,
             "--distributed",
         ]
     )

@@ -97,6 +97,46 @@ def test_mc_kernel_converges_and_is_deterministic():
     np.testing.assert_array_equal(mc, mc2)
 
 
+def test_mc_kernel_multichunk_matches_oracle():
+    """Chunked-W rework (round 4): sites whose counts span multiple 128-row
+    chunks (wc up to 4 at read_cap=512) must replay the shared-draw
+    estimator exactly.  Oracle = a direct numpy replay of the documented
+    semantics: idx[j,t] = min(floor(U[j,t]*c), c-1) with U drawn from
+    fold_in(key, chunk), S_t = sum_j log1p(-p[offset+idx]), 1 - mean exp."""
+    from m6anet_tpu.ops.mc_kernel import site_probability_mc_pallas
+
+    rng = np.random.default_rng(9)
+    n_sites = 12
+    counts = rng.integers(150, 500, size=n_sites).astype(np.int32)
+    counts[3] = 128  # exactly one chunk
+    counts[4] = 129  # one read into the second chunk
+    counts[5] = 0  # padding amid real sites (sorts first)
+    offsets = np.zeros(n_sites, np.int32)
+    cur = 0
+    for i in range(n_sites):
+        offsets[i] = cur
+        cur += int(counts[i])
+    p = rng.uniform(0.0, 1.0, size=cur).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+    n_iters = 300
+
+    got = np.asarray(site_probability_mc_pallas(
+        jnp.asarray(p), jnp.asarray(offsets), jnp.asarray(counts), key,
+        n_iters=n_iters, read_cap=512, interpret=True))
+
+    u = np.asarray(jax.random.uniform(jax.random.fold_in(key, 0), (20, n_iters)))
+    for s in range(n_sites):
+        c = int(counts[s])
+        if c == 0:
+            assert got[s] == 0
+            continue
+        idx = np.minimum((u * np.int32(c)).astype(np.int32), c - 1)  # (20, T)
+        l = np.maximum(np.log1p(-p[offsets[s] : offsets[s] + c]), -1e4)
+        s_log = l[idx].sum(axis=0)  # (T,)
+        want = 1.0 - np.mean(np.exp(s_log))
+        np.testing.assert_allclose(got[s], want, atol=1e-3)
+
+
 def test_mc_is_placement_invariant():
     """A site's MC estimate depends only on (seed, its reads): moving the
     site to a different batch slot must not change its value — host-shard

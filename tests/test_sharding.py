@@ -134,6 +134,96 @@ def test_multiprocess_distributed_inference(production_model, tmp_path):
         assert list(a.columns) == list(b.columns) and len(a) == len(b)
 
 
+def test_multiprocess_distributed_4hosts_uneven_fused(production_model, tmp_path):
+    """4 processes with UNEVEN host shards (101 demo sites -> 26/25/25/25)
+    running --distributed with --backend pallas_fused (interpret mode on the
+    CPU backend): closes the never-executed pallas_fused + --distributed
+    combination and exercises a non-divisible shard split.  The merged
+    output must equal a single-process run of the same backend."""
+    import socket
+    import subprocess
+
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    out_dir = tmp_path / "dist4"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, f"localhost:{port}", "4", str(i),
+             DATA_DIR, str(out_dir), "pallas_fused", "exact"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(4)
+    ]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, logbytes in zip(procs, logs):
+        assert p.returncode == 0, logbytes.decode(errors="replace")[-4000:]
+
+    model, params = production_model
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    ds = build_dataset(DATA_DIR, min_reads=DEFAULT_MIN_READS, norm_path=norm, mode="Inference")
+    single = tmp_path / "single4"
+    run_inference(model, params, ds, str(single), read_proba_threshold=thr,
+                  method="exact", backend="pallas_fused", precision="f32")
+
+    for name in ("data.site_proba.csv", "data.indiv_proba.csv"):
+        a = pd.read_csv(single / name)
+        b = pd.read_csv(out_dir / name)
+        np.testing.assert_allclose(
+            a["probability_modified"], b["probability_modified"], atol=1e-6
+        )
+        assert list(a.columns) == list(b.columns) and len(a) == len(b)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("M6ANET_TPU_SLOW_TESTS"),
+    reason="opt-in (set M6ANET_TPU_SLOW_TESTS=1): full dataprep -> "
+           "multi-process distributed inference pipeline (~2 min)",
+)
+def test_full_pipeline_dataprep_to_distributed_inference(tmp_path):
+    """Fresh dataprep output (not the vendored fixtures) driven through the
+    2-process distributed inference path: the complete multi-host story —
+    featurize, shard by process index, barrier, host-0 CSV merge."""
+    import socket
+    import subprocess
+
+    dp_dir = tmp_path / "dp"
+    subprocess.run(
+        [sys.executable, "-m", "m6anet_tpu", "dataprep",
+         "--eventalign", os.path.join(DATA_DIR, "eventalign.txt"),
+         "--out_dir", str(dp_dir), "--n_processes", "2",
+         "--min_segment_count", "20", "--format", "json"],
+        check=True, env=dict(os.environ, JAX_PLATFORMS="cpu"),
+        timeout=300,
+    )
+
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    out_dir = tmp_path / "dist"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, f"localhost:{port}", "2", str(i),
+             str(dp_dir), str(out_dir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, logbytes in zip(procs, logs):
+        assert p.returncode == 0, logbytes.decode(errors="replace")[-4000:]
+
+    site = pd.read_csv(out_dir / "data.site_proba.csv")
+    indiv = pd.read_csv(out_dir / "data.indiv_proba.csv")
+    assert len(site) > 50 and len(indiv) == site["n_reads"].sum()
+    assert site["probability_modified"].between(0, 1).all()
+
+
 def test_mesh_training_runs_and_learns(tmp_path):
     """Data-parallel training over the 8-device CPU mesh."""
     import jax

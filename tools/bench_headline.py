@@ -130,9 +130,9 @@ def main():
     ]
     if args.mc:
         cmd += ["--site_proba_method", "mc", "--num_iterations", "1000"]
-    if args.read_capacity:
+    if args.read_capacity is not None:
         cmd += ["--read_capacity", str(args.read_capacity)]
-    if args.site_capacity:
+    if args.site_capacity is not None:
         cmd += ["--site_capacity", str(args.site_capacity)]
     env = dict(os.environ, PYTHONPATH=REPO + ":/root/.axon_site")
     times = []

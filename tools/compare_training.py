@@ -186,9 +186,98 @@ def compare(epochs: int = 20, num_iterations: int = 5, seed: int = 25, workdir=N
     return report
 
 
-if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    rep = compare(epochs=epochs)
+def compare_multi(
+    n_seeds: int = 5,
+    epochs: int = 40,
+    num_iterations: int = 5,
+    n_sites: int = 1200,
+    workdir=None,
+    base_seed: int = 100,
+):
+    """Statistical training-parity comparison (round 4).
+
+    Both stacks train on the SAME synthesized labelled dataset (>=1,000
+    sites resampled from real labelled demo reads — see
+    tools/eval_quality.py::build_labelled_datajson) for ``n_seeds``
+    independent seeds each; reports mean±sd of the final train/val
+    ROC-AUC / PR-AUC per stack.  RNG streams necessarily differ between
+    torch and jax, so parity is a claim about the DISTRIBUTION of outcomes,
+    not any single run."""
+    import numpy as np
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.devices()
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import eval_quality
+
+    work = workdir or tempfile.mkdtemp(prefix="train_parity_")
+    ds_dir = eval_quality.build_labelled_datajson(work, n_sites, seed=7)
+    config_path = os.path.join(work, "train_config.toml")
+    with open(config_path, "w") as f:
+        f.write(TRAIN_CONFIG.format(root=ds_dir, norm=NORM_JOBLIB))
+
+    metrics = ("train_roc_auc", "train_pr_auc", "val_roc_auc", "val_pr_auc")
+    runs = {"ours": [], "reference": []}
+    for i in range(n_seeds):
+        seed = base_seed + i
+        own_dir = tempfile.mkdtemp(dir=work, prefix=f"ours_s{seed}_")
+        ref_dir = tempfile.mkdtemp(dir=work, prefix=f"ref_s{seed}_")
+        ot, ov = run_ours(config_path, own_dir, epochs, num_iterations, seed)
+        rt, rv = run_reference(config_path, ref_dir, epochs, num_iterations, seed)
+        for name, (tr, va) in (("ours", (ot, ov)), ("reference", (rt, rv))):
+            runs[name].append({
+                "seed": seed,
+                "train_roc_auc": float(tr["roc_auc"][-1]),
+                "train_pr_auc": float(tr["pr_auc"][-1]),
+                "val_roc_auc": float(va["roc_auc"][-1]),
+                "val_pr_auc": float(va["pr_auc"][-1]),
+            })
+        print(f"seed {seed}: ours val_roc {runs['ours'][-1]['val_roc_auc']:.3f}  "
+              f"ref val_roc {runs['reference'][-1]['val_roc_auc']:.3f}",
+              file=sys.stderr, flush=True)
+
+    report = {
+        "n_seeds": n_seeds, "epochs": epochs, "n_sites": n_sites,
+        "num_iterations": num_iterations, "runs": runs, "summary": {},
+    }
+    for name in ("ours", "reference"):
+        report["summary"][name] = {
+            m: {
+                "mean": round(float(np.mean([r[m] for r in runs[name]])), 4),
+                "sd": round(float(np.std([r[m] for r in runs[name]], ddof=1)), 4),
+            }
+            for m in metrics
+        }
+    return report
+
+
+def _main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("epochs", nargs="?", type=int, default=20)
+    ap.add_argument("out_json", nargs="?", default=None)
+    ap.add_argument("--multi", type=int, default=0, metavar="N_SEEDS",
+                    help="statistical mode: N seeds on a synthesized "
+                         ">=1000-site labelled set (both stacks)")
+    ap.add_argument("--n_sites", type=int, default=1200)
+    ap.add_argument("--num_iterations", type=int, default=5)
+    args = ap.parse_args()
+
+    if args.multi:
+        rep = compare_multi(
+            n_seeds=args.multi, epochs=args.epochs,
+            num_iterations=args.num_iterations, n_sites=args.n_sites,
+        )
+    else:
+        rep = compare(epochs=args.epochs)
     print(json.dumps(rep, indent=2))
-    if len(sys.argv) > 2:
-        json.dump(rep, open(sys.argv[2], "w"), indent=2)
+    if args.out_json:
+        json.dump(rep, open(args.out_json, "w"), indent=2)
+
+
+if __name__ == "__main__":
+    _main()
