@@ -221,36 +221,48 @@ def compare_multi(
 
     metrics = ("train_roc_auc", "train_pr_auc", "val_roc_auc", "val_pr_auc")
     runs = {"ours": [], "reference": []}
+    errors = {"ours": [], "reference": []}
     for i in range(n_seeds):
         seed = base_seed + i
-        own_dir = tempfile.mkdtemp(dir=work, prefix=f"ours_s{seed}_")
-        ref_dir = tempfile.mkdtemp(dir=work, prefix=f"ref_s{seed}_")
-        ot, ov = run_ours(config_path, own_dir, epochs, num_iterations, seed)
-        rt, rv = run_reference(config_path, ref_dir, epochs, num_iterations, seed)
-        for name, (tr, va) in (("ours", (ot, ov)), ("reference", (rt, rv))):
-            runs[name].append({
-                "seed": seed,
-                "train_roc_auc": float(tr["roc_auc"][-1]),
-                "train_pr_auc": float(tr["pr_auc"][-1]),
-                "val_roc_auc": float(va["roc_auc"][-1]),
-                "val_pr_auc": float(va["pr_auc"][-1]),
-            })
-        print(f"seed {seed}: ours val_roc {runs['ours'][-1]['val_roc_auc']:.3f}  "
-              f"ref val_roc {runs['reference'][-1]['val_roc_auc']:.3f}",
+        for name, fn in (("ours", run_ours), ("reference", run_reference)):
+            run_dir = tempfile.mkdtemp(dir=work, prefix=f"{name}_s{seed}_")
+            # the noisy-OR loss starts near -log(1 - (1-0.5)^20) ~ 7.5 on a
+            # fresh init (site probabilities saturate at ~1), so individual
+            # runs can diverge; a diverged seed is DATA for this comparison,
+            # not a reason to lose the other seeds
+            try:
+                tr, va = fn(config_path, run_dir, epochs, num_iterations, seed)
+                runs[name].append({
+                    "seed": seed,
+                    "train_roc_auc": float(tr["roc_auc"][-1]),
+                    "train_pr_auc": float(tr["pr_auc"][-1]),
+                    "val_roc_auc": float(va["roc_auc"][-1]),
+                    "val_pr_auc": float(va["pr_auc"][-1]),
+                })
+            except Exception as e:  # noqa: BLE001 — record and continue
+                errors[name].append({"seed": seed, "error": repr(e)[:300]})
+        o = runs["ours"][-1]["val_roc_auc"] if runs["ours"] and runs["ours"][-1]["seed"] == seed else "ERR"
+        r = runs["reference"][-1]["val_roc_auc"] if runs["reference"] and runs["reference"][-1]["seed"] == seed else "ERR"
+        print(f"seed {seed}: ours val_roc {o}  ref val_roc {r}",
               file=sys.stderr, flush=True)
 
     report = {
         "n_seeds": n_seeds, "epochs": epochs, "n_sites": n_sites,
-        "num_iterations": num_iterations, "runs": runs, "summary": {},
+        "num_iterations": num_iterations, "runs": runs, "errors": errors,
+        "summary": {},
     }
     for name in ("ours", "reference"):
+        if not runs[name]:
+            continue
         report["summary"][name] = {
             m: {
                 "mean": round(float(np.mean([r[m] for r in runs[name]])), 4),
-                "sd": round(float(np.std([r[m] for r in runs[name]], ddof=1)), 4),
+                "sd": round(float(np.std([r[m] for r in runs[name]], ddof=1)), 4)
+                if len(runs[name]) > 1 else 0.0,
             }
             for m in metrics
         }
+        report["summary"][name]["n_ok"] = len(runs[name])
     return report
 
 
