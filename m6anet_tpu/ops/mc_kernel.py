@@ -56,84 +56,98 @@ LANE = 128
 def _mc_kernel(
     counts_ref,  # scalar-prefetch SMEM (n_sites_pad,) — sorted read counts
     u_ref,  # (n_samples, T) f32 VMEM — shared draws
-    p_ref,  # (1, 1, W) f32 VMEM — this site's reads (pipelined from dense_p)
-    out_ref,  # (1, s_pad) f32 VMEM-resident output: sum_t exp(S_t) per site
+    p_ref,  # (1, G, W) f32 VMEM — G sites' read windows (from dense_p)
+    out_ref,  # (1, G) f32 — this step's G per-site sum_t exp(S_t)
     kt_ref,  # (W, T) bf16 scratch — draw histogram for the current count
-    *, n_samples: int, W: int, T: int,
+    lhi_ref,  # (G, W) bf16 scratch — log1p(-p) high parts, whole block
+    llo_ref,  # (G, W) bf16 scratch — log1p(-p) residuals
+    *, n_samples: int, W: int, T: int, G: int,
 ):
     i = pl.program_id(0)
-    c = counts_ref[i]
-    # chunked-W (round 4): both the histogram rebuild and the matvec walk
-    # only ceil(count/128) 128-row chunks instead of the full W=read_cap
-    # window.  Counts are sorted ascending and the HEK293T-shape read-count
-    # distribution has most sites under 128 reads, so the dominant costs —
-    # ~W*T VPU ops per rebuild and W/128 MXU k-tiles per matvec — drop by
-    # the cap/count ratio (~8x at the production shapes).  Rows at or above
-    # a site's ceil-chunk boundary are never written after the step-0 zero
-    # fill (ascending counts only ever extend the written prefix), and
-    # within the last chunk rows >= c get exact zeros from the compare, so
-    # skipping them is exact, not approximate.
-    wc = (c + LANE - 1) // LANE  # chunks this site actually needs
+    # G sites per grid step (round 4b): the round-4a kernel ran one site per
+    # step, and its measured 84 ms/batch was per-step overhead — 8192
+    # sequential steps each pipelining a tiny (1,1,W)=4 KB block — not
+    # compute (~5 ms).  This version DMAs G=128 site windows per step (512
+    # KB, good granularity) and walks the sites in a fori_loop.
+    #
+    # chunked-W (round 4a, kept): both the histogram rebuild and the matvec
+    # walk only ceil(count/128) 128-row chunks of the W window, so the
+    # dominant costs scale with each site's REAL read count (~8x less work
+    # than full-W at the HEK293T count distribution, mean ~84 reads).  Rows
+    # at or above a site's ceiling chunk are never written after the step-0
+    # zero fill (counts are sorted ascending, so rebuilds only ever extend
+    # the written prefix), and within the last chunk rows >= c get exact
+    # zeros from the compare — skipping them is exact, not approximate.
 
     @pl.when(i == 0)
     def _zero_kt():
         kt_ref[:] = jnp.zeros_like(kt_ref)
 
-    # rebuild the histogram only when the (sorted) count changes
-    prev_c = counts_ref[jnp.maximum(i, 1) - 1]
+    # whole-block log1p(-p), split hi+lo into bf16 scratch once per step;
+    # clamp: p==1.0 gives log1p(-1)=-inf, and 0 * -inf would NaN through
+    # the matmul for reads that are never drawn
+    l = jnp.maximum(jnp.log1p(-p_ref[0]), -1e4)  # (G, W) f32
+    l_hi = l.astype(jnp.bfloat16)
+    lhi_ref[:] = l_hi
+    llo_ref[:] = (l - l_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    @pl.when((i == 0) | (c != prev_c))
-    def _rebuild_kt():
-        cf = c.astype(jnp.float32)
-        # floor(u*c) clamped to c-1 (f32 boundary rounding); c==0 padding
-        # sites clamp to -1, matching no row — KT all zero, exp(0)=1, and
-        # the wrapper masks them out anyway
-        idx = jnp.minimum((u_ref[:] * cf).astype(jnp.int32), c - 1)  # (ns, T)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (LANE, T), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (LANE, T), 0)
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
 
-        def build_chunk(k, _):
+    def site_body(g, acc):
+        s = i * G + g
+        c = counts_ref[s]
+        wc = (c + LANE - 1) // LANE  # chunks this site actually needs
+
+        # rebuild the histogram only when the (sorted) count changes
+        prev_c = counts_ref[jnp.maximum(s, 1) - 1]
+
+        @pl.when((s == 0) | (c != prev_c))
+        def _rebuild_kt():
+            cf = c.astype(jnp.float32)
+            # floor(u*c) clamped to c-1 (f32 boundary rounding); c==0
+            # padding sites clamp to -1, matching no row — KT stays zero,
+            # exp(0)=1, and the wrapper masks them out anyway
+            idx = jnp.minimum((u_ref[:] * cf).astype(jnp.int32), c - 1)
+
+            def build_chunk(k, _):
+                off = pl.multiple_of(k * LANE, LANE)
+                rk = rows + off
+                a = jnp.zeros((LANE, T), jnp.float32)
+                for j in range(n_samples):
+                    a += (rk == idx[j, :][None, :]).astype(jnp.float32)
+                kt_ref[pl.ds(off, LANE), :] = a.astype(jnp.bfloat16)  # exact
+                return 0
+
+            jax.lax.fori_loop(0, wc, build_chunk, 0)
+
+        # site g's l-row is selected with a (1, G) one-hot MXU contraction
+        # against the scratch block (exact: one nonzero per product), chunk
+        # by chunk, and contracted against the matching KT chunk
+        onehot_g = (lane_g == g).astype(jnp.bfloat16)  # (1, G)
+
+        def mat_chunk(k, s_acc):
             off = pl.multiple_of(k * LANE, LANE)
-            rk = rows + off
-            acc = jnp.zeros((LANE, T), jnp.float32)
-            for j in range(n_samples):
-                acc += (rk == idx[j, :][None, :]).astype(jnp.float32)
-            kt_ref[pl.ds(off, LANE), :] = acc.astype(jnp.bfloat16)  # <= ns: exact
-            return 0
+            row_hi = jnp.dot(onehot_g, lhi_ref[:, pl.ds(off, LANE)],
+                             preferred_element_type=jnp.float32)
+            row_lo = jnp.dot(onehot_g, llo_ref[:, pl.ds(off, LANE)],
+                             preferred_element_type=jnp.float32)
+            ktc = kt_ref[pl.ds(off, LANE), :]  # (LANE, T)
+            return (
+                s_acc
+                + jnp.dot(row_hi.astype(jnp.bfloat16), ktc,
+                          preferred_element_type=jnp.float32)
+                + jnp.dot(row_lo.astype(jnp.bfloat16), ktc,
+                          preferred_element_type=jnp.float32)
+            )
 
-        jax.lax.fori_loop(0, wc, build_chunk, 0)
+        s_log = jax.lax.fori_loop(0, wc, mat_chunk, jnp.zeros((1, T), jnp.float32))
+        sum_exp = jnp.sum(jnp.exp(s_log))
+        return acc + jnp.where(lane_g == g, sum_exp, 0.0)
 
-    # chunked matvec: S_t = sum_k l_k @ KT_k over the site's real chunks.
-    # p_ref is zero beyond the site's count (dense_p pads with zeros), so
-    # l = log1p(-0) = 0 there — untouched chunks would contribute nothing
-    # anyway; skipping them saves the MXU k-tiles.
-    def mat_chunk(k, s_acc):
-        off = pl.multiple_of(k * LANE, LANE)
-        pk = p_ref[0, :, pl.ds(off, LANE)]  # (1, LANE)
-        # clamp: p==1.0 gives log1p(-1)=-inf, and 0 * -inf would NaN
-        # through the matmul for reads that are never drawn
-        l = jnp.maximum(jnp.log1p(-pk), -1e4)
-        l_hi = l.astype(jnp.bfloat16)
-        l_lo = (l - l_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        ktc = kt_ref[pl.ds(off, LANE), :]  # (LANE, T)
-        return (
-            s_acc
-            + jnp.dot(l_hi, ktc, preferred_element_type=jnp.float32)
-            + jnp.dot(l_lo, ktc, preferred_element_type=jnp.float32)
-        )
-
-    s_log = jax.lax.fori_loop(0, wc, mat_chunk, jnp.zeros((1, T), jnp.float32))
-    sum_exp = jnp.sum(jnp.exp(s_log))
-
-    # accumulate this site's scalar into the whole-batch resident output row
-    # (same pattern as the fused inference kernel's site accumulator:
-    # 128-aligned dynamic lane offset, one-hot lane select)
-    @pl.when(i == 0)
-    def _init_out():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
-    base = pl.multiple_of((i // LANE) * LANE, LANE)
-    out_ref[:, pl.ds(base, LANE)] += jnp.where(lane == (i % LANE), sum_exp, 0.0)
+    out_ref[:] = jax.lax.fori_loop(
+        0, G, site_body, jnp.zeros((1, G), jnp.float32)
+    )
 
 
 @functools.partial(
@@ -158,16 +172,19 @@ def site_probability_mc_pallas(
         raise ValueError(f"read_cap must be a multiple of {LANE}, got {read_cap}")
     n_sites = counts.shape[0]
     w = read_cap
+    G = 128  # sites per grid step (DMA granularity G*w*4 = 512 KB at w=1024)
     order = jnp.argsort(counts)
-    s_pad = -(-n_sites // LANE) * LANE
+    s_pad = -(-n_sites // G) * G
     counts_s = jnp.zeros((s_pad,), jnp.int32).at[:n_sites].set(counts[order])
     offsets_s = jnp.zeros((s_pad,), jnp.int32).at[:n_sites].set(offsets[order])
     p_pad = jnp.concatenate([p.astype(jnp.float32), jnp.zeros((w,), jnp.float32)])
     # dense per-site read windows: one contiguous w-slice per (sorted) site,
-    # streamed into the kernel as pipelined (1, w) blocks (a Mosaic 1D
+    # streamed into the kernel as pipelined (1, G, w) blocks (a Mosaic 1D
     # dynamic-offset DMA cannot prove tile alignment, so the slicing happens
     # here in XLA instead)
-    dense_p = p_pad[offsets_s[:, None] + jnp.arange(w)[None, :]].reshape(s_pad, 1, w)
+    dense_p = p_pad[offsets_s[:, None] + jnp.arange(w)[None, :]].reshape(
+        s_pad // G, G, w
+    )
 
     chunk = min(n_iters, 1024)
     n_chunks, rem = divmod(n_iters, chunk)
@@ -179,18 +196,20 @@ def site_probability_mc_pallas(
             jax.random.fold_in(base_key, ci), (n_samples, t_chunk), jnp.float32
         )
         out = pl.pallas_call(
-            functools.partial(_mc_kernel, n_samples=n_samples, W=w, T=t_chunk),
+            functools.partial(_mc_kernel, n_samples=n_samples, W=w, T=t_chunk, G=G),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(s_pad,),
+                grid=(s_pad // G,),
                 in_specs=[
                     pl.BlockSpec(u.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, 1, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, G, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec((1, s_pad), lambda i, *_: (0, 0),
+                out_specs=pl.BlockSpec((1, G), lambda i, *_: (0, i),
                                        memory_space=pltpu.VMEM),
                 scratch_shapes=[
                     pltpu.VMEM((w, t_chunk), jnp.bfloat16),
+                    pltpu.VMEM((G, w), jnp.bfloat16),
+                    pltpu.VMEM((G, w), jnp.bfloat16),
                 ],
             ),
             out_shape=jax.ShapeDtypeStruct((1, s_pad), jnp.float32),

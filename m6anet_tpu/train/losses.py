@@ -5,18 +5,48 @@ Registered by name for the TOML ``[loss_function]`` contract
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # torch.nn.BCELoss clamps each log term at -100 for stability; match it.
 _LOG_CLAMP = -100.0
+# torch's native BCELoss backward clamps the p*(1-p) denominator at 1e-12
+# (aten/src/ATen/native/Loss.cpp::binary_cross_entropy_backward)
+_GRAD_EPS = 1e-12
 
 
 def _bce_elementwise(y_pred, y_true):
-    y_pred = y_pred.reshape(-1)
-    y_true = y_true.reshape(-1).astype(y_pred.dtype)
-    log_p = jnp.maximum(jnp.log(y_pred), _LOG_CLAMP)
-    log_1mp = jnp.maximum(jnp.log1p(-y_pred), _LOG_CLAMP)
-    return -(y_true * log_p + (1.0 - y_true) * log_1mp)
+    p = y_pred.reshape(-1)
+    y = y_true.reshape(-1).astype(p.dtype)
+    return _bce_core(p, y)
+
+
+@jax.custom_vjp
+def _bce_core(p, y):
+    log_p = jnp.maximum(jnp.log(p), _LOG_CLAMP)
+    log_1mp = jnp.maximum(jnp.log1p(-p), _LOG_CLAMP)
+    return -(y * log_p + (1.0 - y) * log_1mp)
+
+
+def _bce_core_fwd(p, y):
+    return _bce_core(p, y), (p, y)
+
+
+def _bce_core_bwd(res, g):
+    # Torch-semantics backward: (p - y) / max(p*(1-p), 1e-12)
+    # (aten BCELoss backward).  The naive autodiff of the clamped-log
+    # forward produces 0 * inf = NaN at exactly p == 0 or p == 1 — and the
+    # noisy-OR pooling SATURATES site probabilities at 1.0 whenever
+    # prod(1-p_read) underflows, so a fresh init hits that boundary
+    # routinely (2/5 multi-seed training runs NaN'd before this; the torch
+    # reference survives because its backward is this clamped closed form,
+    # huge-but-finite at the boundary).
+    p, y = res
+    grad = (p - y) / jnp.maximum(p * (1.0 - p), _GRAD_EPS)
+    return g * grad, jnp.zeros_like(y)
+
+
+_bce_core.defvjp(_bce_core_fwd, _bce_core_bwd)
 
 
 def binary_cross_entropy_loss(y_pred, y_true, mask=None):

@@ -36,6 +36,31 @@ def test_bce_matches_torch_semantics():
     assert abs(ours_w - expected) < 1e-4
 
 
+def test_bce_gradient_finite_at_saturation():
+    """Noisy-OR pooling saturates site probabilities at exactly 0.0/1.0
+    (prod underflow), where the naive autodiff of the clamped-log BCE gives
+    0*inf = NaN; torch's native backward is (p-y)/max(p(1-p), 1e-12) —
+    huge but finite.  The custom_vjp must match torch's gradients both at
+    the boundary and in the interior (this NaN'd 2/5 multi-seed training
+    runs before the fix)."""
+    import torch
+
+    from m6anet_tpu.train.losses import binary_cross_entropy_loss
+
+    y_pred = np.array([0.0, 1.0, 1e-30, 1.0 - 1e-7, 0.3], np.float32)
+    y_true = np.array([1.0, 0.0, 1.0, 0.0, 1.0], np.float32)
+
+    g = jax.grad(lambda p: binary_cross_entropy_loss(p, jnp.asarray(y_true)))(
+        jnp.asarray(y_pred)
+    )
+    g = np.asarray(g)
+    assert np.isfinite(g).all(), g
+
+    tp = torch.tensor(y_pred, requires_grad=True)
+    torch.nn.BCELoss()(tp, torch.tensor(y_true)).backward()
+    np.testing.assert_allclose(g, tp.grad.numpy(), rtol=1e-4)
+
+
 def test_treeio_roundtrip(tmp_path):
     from m6anet_tpu.utils.treeio import load_tree, save_tree
 
@@ -287,3 +312,29 @@ def test_training_matches_reference_torch_loop():
     assert abs(ours["train_pr_auc"] - ref["train_pr_auc"]) < 0.12
     # val split has only 2 positives of 19 sites: wide statistical band
     assert ours["val_roc_auc"] > 0.6 and ref["val_roc_auc"] > 0.6
+
+
+@pytest.mark.skipif(
+    not (os.path.isdir("/root/reference/m6anet") and os.environ.get("M6ANET_TPU_SLOW_TESTS")),
+    reason="opt-in (set M6ANET_TPU_SLOW_TESTS=1; needs the reference checkout): "
+    "multi-seed statistical training parity (~15 min)",
+)
+def test_training_parity_statistical():
+    """Multi-seed statistical parity on a >=600-site synthesized labelled
+    set: mean final metrics of both stacks must sit in overlapping bands,
+    and no seed of ours may diverge (the BCE custom_vjp reproduces torch's
+    clamped backward at noisy-OR saturation — before it, 2/5 seeds NaN'd).
+    The documented 5-seed / 1000-site run is in PERFORMANCE.md."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from compare_training import compare_multi
+
+    rep = compare_multi(n_seeds=3, epochs=120, num_iterations=3, n_sites=600)
+    s = rep["summary"]
+    assert s["ours"]["n_ok"] == 3, rep["errors"]
+    assert s["reference"]["n_ok"] == 3, rep["errors"]
+    for m in ("train_roc_auc", "val_roc_auc", "train_pr_auc", "val_pr_auc"):
+        a, b = s["ours"][m], s["reference"][m]
+        band = 0.05 + 2.0 * (a["sd"] + b["sd"])
+        assert abs(a["mean"] - b["mean"]) <= band, (m, a, b)

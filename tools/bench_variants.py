@@ -55,9 +55,24 @@ def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "xla_f32"
     n_timed = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
+    import os
+
     import jax
     import jax.numpy as jnp
     import tomllib
+
+    # persistent compilation cache: kernel compiles through the relay's
+    # remote_compile can take 8-15 min cold (the MC kernel especially);
+    # repeat invocations of the same variant skip it
+    cache_dir = os.environ.get(
+        "M6ANET_TPU_CACHE_DIR", os.path.expanduser("~/.cache/m6anet_tpu/jax")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from m6anet_tpu.constants import (
         DEFAULT_MODEL_CONFIG,
