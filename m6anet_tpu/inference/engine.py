@@ -198,12 +198,11 @@ def make_infer_step(
 def _fetch_result(result):
     """Device->host transfer of one batch's outputs (runs on a fetch thread).
 
-    On the axon relay each fetch costs ~1.9 s of latency regardless of size
-    (PERFORMANCE.md full-scale table); running the fetches of in-flight
-    batches concurrently on a small thread pool overlaps those latencies
-    with each other, with device compute and with CSV rendering — the
-    round-3 full-scale bottleneck (15.3 s of a 23 s wall was 8 *serial*
-    per-batch fetches)."""
+    With fetch_threads > 1 the fetches of in-flight batches overlap each
+    other, device compute, and CSV rendering.  NOTE the measured caveat in
+    :func:`run_inference`: the axon relay SERIALIZES transfers and degrades
+    ~30x under concurrent requests, so overlap is opt-in
+    (M6ANET_TPU_FETCH_THREADS) for direct-attached hardware."""
     return tuple(np.asarray(x) for x in result)
 
 
@@ -273,7 +272,7 @@ def run_inference(
     resume: bool = False,
     host_shard: Optional[Tuple[int, int]] = None,
     n_threads: int = 1,
-    fetch_threads: int = 4,
+    fetch_threads: int = 1,
 ) -> None:
     """Run inference over every site of the dataset and write both CSVs.
 
@@ -292,6 +291,16 @@ def run_inference(
     timer = StageTimer()
     log = get_logger("m6anet_tpu.inference")
     backend, precision = resolve_backend(model, backend, precision, log=log)
+    # Fetch overlap knobs.  MEASURED on the axon relay (2026-08-21, full
+    # 95k-site workload, same dataset back-to-back): serial fetches 2.4 s
+    # each (37.9 s e2e); copy_to_host_async before a serial fetch 6.7 s
+    # each (61.9 s); four concurrent fetch threads 80 s each (726 s!) —
+    # this relay serializes device->host transfers and punishes overlapped
+    # requests, so the safe default is fully serial.  On direct-attached
+    # TPU hardware overlapping fetches with compute/rendering is the right
+    # call: set M6ANET_TPU_FETCH_THREADS>1 (and the async hint on) there.
+    fetch_threads = int(os.environ.get("M6ANET_TPU_FETCH_THREADS", fetch_threads))
+    async_hint = os.environ.get("M6ANET_TPU_ASYNC_FETCH_HINT", "0") != "0"
 
     shard_suffix = ""
     global_offset = 0
@@ -435,13 +444,14 @@ def run_inference(
                         jax.device_put(batch.counts, repl),
                     )
                 result = step(params, *args, base_key)
-                for r in result:
-                    # hint the runtime to start the transfer as soon as the
-                    # program finishes (no-op where unsupported)
-                    try:
-                        r.copy_to_host_async()
-                    except Exception:
-                        pass
+                if async_hint:
+                    for r in result:
+                        # hint the runtime to start the transfer as soon as
+                        # the program finishes (no-op where unsupported)
+                        try:
+                            r.copy_to_host_async()
+                        except Exception:
+                            pass
                 inflight.append((batch, fetch_pool.submit(_fetch_result, result)))
             if len(inflight) >= max_inflight:
                 drain_one()

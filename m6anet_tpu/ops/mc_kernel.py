@@ -181,10 +181,13 @@ def site_probability_mc_pallas(
     # dense per-site read windows: one contiguous w-slice per (sorted) site,
     # streamed into the kernel as pipelined (1, G, w) blocks (a Mosaic 1D
     # dynamic-offset DMA cannot prove tile alignment, so the slicing happens
-    # here in XLA instead)
-    dense_p = p_pad[offsets_s[:, None] + jnp.arange(w)[None, :]].reshape(
-        s_pad // G, G, w
-    )
+    # here in XLA instead).  vmapped dynamic_slice, NOT p_pad[offs[:,None] +
+    # arange(w)]: the latter hands XLA an (S, w) index matrix that lowers to
+    # per-ELEMENT gathers (measured 67 ms/batch on device, 90% of the whole
+    # MC op); contiguous slice-gathers run the same windows in 14 ms.
+    dense_p = jax.vmap(
+        lambda o: jax.lax.dynamic_slice(p_pad, (o,), (w,))
+    )(offsets_s).reshape(s_pad // G, G, w)
 
     chunk = min(n_iters, 1024)
     n_chunks, rem = divmod(n_iters, chunk)
