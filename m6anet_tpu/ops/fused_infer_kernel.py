@@ -399,9 +399,11 @@ def fused_inference_t(
     counts: jnp.ndarray,  # (S,) i32
     threshold: float,
     n_samples: int = 20,
-    # 8192 benches ~6% over 4096 (fewer grid steps); 16384's unrolled
-    # 128-subchunk loop takes Mosaic >10 min to compile — not worth it
-    block_reads: int = 8192,
+    # 16384 benches +5.7% f32x3 / +1.8% bf16 over 8192 (fewer grid steps);
+    # the round-4 MXU site reduction shrank the unrolled sub-chunk loop
+    # enough that Mosaic compiles it in minutes (round 3's VPU body took
+    # >10 min).  32768 would need the 96 MB clamped VMEM budget exceeded.
+    block_reads: int = 16384,
     interpret: bool = False,
     compute_dtype=jnp.float32,
     probe: str | None = None,

@@ -277,12 +277,14 @@ def _main():
                          ">=1000-site labelled set (both stacks)")
     ap.add_argument("--n_sites", type=int, default=1200)
     ap.add_argument("--num_iterations", type=int, default=5)
+    ap.add_argument("--base_seed", type=int, default=100)
     args = ap.parse_args()
 
     if args.multi:
         rep = compare_multi(
             n_seeds=args.multi, epochs=args.epochs,
             num_iterations=args.num_iterations, n_sites=args.n_sites,
+            base_seed=args.base_seed,
         )
     else:
         rep = compare(epochs=args.epochs)
