@@ -109,6 +109,31 @@ def make_eval_step(model, loss_fn: Callable):
     return step
 
 
+@jax.jit
+def _concat_flat(parts):
+    """JITTED device-side flatten+concat (one program, one output buffer).
+
+    Jitted rather than eager on purpose: on the axon platform an eager
+    computation racing queued jitted programs can deadlock the execution
+    queue (see the engine's single-program invariant)."""
+    return jnp.concatenate([p.reshape(-1) for p in parts])
+
+
+def _gather_preds(pred_parts):
+    """ONE device concat + ONE host transfer for a whole epoch/pass of
+    per-batch predictions — the relay charges per transfer, not per byte,
+    so per-batch fetches cost n_batches round trips (measured 1.7-2.4 s
+    each on bad days).  Host-side slicing restores each batch's valid
+    (un-padded) prefix."""
+    flat = np.asarray(_concat_flat(tuple(p for p, _ in pred_parts)))
+    sizes = [p.size for p, _ in pred_parts]
+    bounds = np.cumsum([0] + sizes)
+    return np.concatenate([
+        flat[bounds[j] : bounds[j] + (sizes[j] if nv is None else nv)]
+        for j, (_, nv) in enumerate(pred_parts)
+    ])
+
+
 def train_one_epoch(step, params, opt_state, train_loader, rng) -> Tuple:
     """(reference: m6anet/utils/training_utils.py:148-210).
 
@@ -137,26 +162,15 @@ def train_one_epoch(step, params, opt_state, train_loader, rng) -> Tuple:
         y_true.append(batch["y"][:n_valid])
         pred_parts.append((pred, n_valid))
     y_true = np.concatenate(y_true)
-    # ONE device concat + ONE transfer for the whole epoch's predictions:
-    # the relay charges per transfer, not per byte, so per-batch fetches
-    # cost n_batches round trips (measured 1.7-2.4 s each on bad days)
-    flat = np.asarray(
-        jnp.concatenate([p.reshape(-1) for p, _ in pred_parts])
-    )
-    sizes = [p.size for p, _ in pred_parts]
-    bounds = np.cumsum([0] + sizes)
-    y_pred = np.concatenate([
-        flat[bounds[j] : bounds[j] + (sizes[j] if nv is None else nv)]
-        for j, (_, nv) in enumerate(pred_parts)
-    ])
+    y_pred = _gather_preds(pred_parts)
     rng = jnp.asarray(np.array(
         [(int(key_host[0]) + 0x9E3779B9) & 0xFFFFFFFF, int(key_host[1])],
         np.uint32,
     ))
     results = {
         "compute_time": time.time() - start,
-        # stack + one fetch (float(l) per batch loss is a round trip each)
-        "avg_loss": float(np.asarray(jnp.stack(losses)).mean()),
+        # one jitted stack + one fetch (float(l) per loss is a round trip)
+        "avg_loss": float(np.asarray(_concat_flat(tuple(losses))).mean()),
         "roc_auc": get_roc_auc(y_true, y_pred),
         "pr_auc": get_pr_auc(y_true, y_pred),
     }
@@ -183,15 +197,7 @@ def validate(eval_step, params, val_loader, loss_fn, n_iterations: int = 1) -> D
             pred_parts.append((pred, n_valid))
         if all_y_true is None:
             all_y_true = np.concatenate(y_true_pass)
-        flat = np.asarray(
-            jnp.concatenate([p.reshape(-1) for p, _ in pred_parts])
-        )
-        sizes = [p.size for p, _ in pred_parts]
-        bounds = np.cumsum([0] + sizes)
-        all_preds.append(np.concatenate([
-            flat[bounds[j] : bounds[j] + (sizes[j] if nv is None else nv)]
-            for j, (_, nv) in enumerate(pred_parts)
-        ]))
+        all_preds.append(_gather_preds(pred_parts))
     y_pred_avg = np.mean(all_preds, axis=0)
     results = {
         "y_pred": all_preds,

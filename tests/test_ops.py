@@ -116,7 +116,10 @@ def test_mc_kernel_multichunk_matches_oracle():
     for i in range(n_sites):
         offsets[i] = cur
         cur += int(counts[i])
-    p = rng.uniform(0.0, 1.0, size=cur).astype(np.float32)
+    # p bounded below 0.3 keeps exp(s_log) O(1): with p ~ U(0,1) every
+    # site's value saturates within 2e-6 of 1.0 and any tolerance-based
+    # assertion is vacuous — a kernel returning constant 1.0 would pass
+    p = rng.uniform(0.0, 0.3, size=cur).astype(np.float32)
     key = jax.random.PRNGKey(7)
     n_iters = 300
 
@@ -134,7 +137,11 @@ def test_mc_kernel_multichunk_matches_oracle():
         l = np.maximum(np.log1p(-p[offsets[s] : offsets[s] + c]), -1e4)
         s_log = l[idx].sum(axis=0)  # (T,)
         want = 1.0 - np.mean(np.exp(s_log))
-        np.testing.assert_allclose(got[s], want, atol=1e-3)
+        assert 0.05 < want < 0.999, "oracle values must not saturate"
+        # both got and want are O(1) here, so this tolerance is REAL: it is
+        # ~50x the kernel's bf16 hi/lo split error and ~1000x smaller than
+        # the value spread (a dropped chunk shifts values by >0.1)
+        np.testing.assert_allclose(got[s], want, atol=2e-4)
 
 
 def test_mc_is_placement_invariant():

@@ -152,8 +152,12 @@ def test_multiprocess_distributed_4hosts_uneven_fused(production_model, tmp_path
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     procs = [
         subprocess.Popen(
+            # small explicit capacities: interpret-mode pallas work per
+            # worker must stay well under Gloo's ~30 s collective
+            # participation deadline even on a loaded 2-vCPU host (the
+            # default 65536-read capacity made this flake under load)
             [sys.executable, worker, f"localhost:{port}", "4", str(i),
-             DATA_DIR, str(out_dir), "pallas_fused", "exact"],
+             DATA_DIR, str(out_dir), "pallas_fused", "exact", "8192", "512"],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for i in range(4)
@@ -172,8 +176,12 @@ def test_multiprocess_distributed_4hosts_uneven_fused(production_model, tmp_path
     for name in ("data.site_proba.csv", "data.indiv_proba.csv"):
         a = pd.read_csv(single / name)
         b = pd.read_csv(out_dir / name)
+        # 1e-5, not 1e-6: the workers run small batch capacities (Gloo
+        # deadline, above) while the single run uses defaults, and
+        # ulp-level per-read differences across batch shapes accumulate to
+        # ~2e-6 in a 662-read site sum (golden site tolerance is 1e-2)
         np.testing.assert_allclose(
-            a["probability_modified"], b["probability_modified"], atol=1e-6
+            a["probability_modified"], b["probability_modified"], atol=1e-5
         )
         assert list(a.columns) == list(b.columns) and len(a) == len(b)
 
