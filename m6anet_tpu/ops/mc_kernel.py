@@ -61,7 +61,7 @@ def _mc_kernel(
     kt_ref,  # (W, T) bf16 scratch — draw histogram for the current count
     lhi_ref,  # (G, W) bf16 scratch — log1p(-p) high parts, whole block
     llo_ref,  # (G, W) bf16 scratch — log1p(-p) residuals
-    *, n_samples: int, W: int, T: int, G: int,
+    *, n_samples: int, W: int, T: int, G: int, probe=None,
 ):
     i = pl.program_id(0)
     # G sites per grid step (round 4b): the round-4a kernel ran one site per
@@ -101,8 +101,11 @@ def _mc_kernel(
 
         # rebuild the histogram only when the (sorted) count changes
         prev_c = counts_ref[jnp.maximum(s, 1) - 1]
+        do_rebuild = (s == 0) | (c != prev_c)
+        if probe == "norebuild":  # perf probe: stale kt (wrong results)
+            do_rebuild = s == 0
 
-        @pl.when((s == 0) | (c != prev_c))
+        @pl.when(do_rebuild)
         def _rebuild_kt():
             cf = c.astype(jnp.float32)
             # floor(u*c) clamped to c-1 (f32 boundary rounding); c==0
@@ -141,7 +144,8 @@ def _mc_kernel(
                           preferred_element_type=jnp.float32)
             )
 
-        s_log = jax.lax.fori_loop(0, wc, mat_chunk, jnp.zeros((1, T), jnp.float32))
+        n_mat = jnp.int32(0) if probe == "nomatvec" else wc
+        s_log = jax.lax.fori_loop(0, n_mat, mat_chunk, jnp.zeros((1, T), jnp.float32))
         sum_exp = jnp.sum(jnp.exp(s_log))
         return acc + jnp.where(lane_g == g, sum_exp, 0.0)
 
@@ -151,7 +155,8 @@ def _mc_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_iters", "n_samples", "read_cap", "interpret")
+    jax.jit,
+    static_argnames=("n_iters", "n_samples", "read_cap", "interpret", "probe"),
 )
 def site_probability_mc_pallas(
     p: jnp.ndarray,  # (N,) f32 flat packed read probabilities
@@ -162,6 +167,7 @@ def site_probability_mc_pallas(
     n_samples: int = 20,
     read_cap: int = DEFAULT_READ_CAP,
     interpret: bool = False,
+    probe: str | None = None,  # perf instrumentation: "norebuild"/"nomatvec"
 ) -> jnp.ndarray:
     """MC site probabilities, one value per site (0 for count-0 padding).
 
@@ -199,7 +205,9 @@ def site_probability_mc_pallas(
             jax.random.fold_in(base_key, ci), (n_samples, t_chunk), jnp.float32
         )
         out = pl.pallas_call(
-            functools.partial(_mc_kernel, n_samples=n_samples, W=w, T=t_chunk, G=G),
+            functools.partial(
+                _mc_kernel, n_samples=n_samples, W=w, T=t_chunk, G=G, probe=probe
+            ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(s_pad // G,),

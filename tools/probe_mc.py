@@ -87,6 +87,14 @@ def main():
     def full_step(p, offsets, counts, carry):
         return mk.site_probability_mc_pallas(p + carry, offsets, counts, key, n_iters=1000)
 
+    def make_probed(tag):
+        def step(p, offsets, counts, carry):
+            # WRONG results by design — times the op with one stage disabled
+            return mk.site_probability_mc_pallas(
+                p + carry, offsets, counts, key, n_iters=1000, probe=tag
+            )
+        return step
+
     def gather_step(p, offsets, counts, carry):
         _, dense = prep(p + carry, offsets, counts)
         return jnp.sum(dense, axis=(1, 2))
@@ -126,12 +134,16 @@ def main():
 
     argsets = {
         "full": (pd, od, cd),
+        "full_norebuild": (pd, od, cd),
+        "full_nomatvec": (pd, od, cd),
         "gather": (pd, od, cd),
         "gather_elem": (pd, od, cd),
         "kernel": (counts_s_host, dense_host),
     }
     steps = {
         "full": full_step, "gather": gather_step,
+        "full_norebuild": make_probed("norebuild"),
+        "full_nomatvec": make_probed("nomatvec"),
         "gather_elem": gather_elem_step, "kernel": kernel_step,
     }
     which = sys.argv[2].split(",") if len(sys.argv) > 2 else ["gather", "kernel", "full"]
