@@ -195,15 +195,46 @@ def make_infer_step(
     return step
 
 
-def _fetch_result(result):
-    """Device->host transfer of one batch's outputs (runs on a fetch thread).
+def _env_int(name: str, default: int, apply: bool = True) -> int:
+    """Integer env override with a clear CLI-time error on garbage values.
 
-    With fetch_threads > 1 the fetches of in-flight batches overlap each
+    ``apply=False`` (the caller passed an explicit non-default argument)
+    leaves the argument untouched — env defaults never silently override an
+    explicit choice."""
+    raw = os.environ.get(name)
+    if raw is None or not apply:
+        return default
+    try:
+        return max(0, int(raw))
+    except ValueError as e:
+        raise ValueError(f"{name} must be an integer, got {raw!r}") from e
+
+
+def _fetch_result(result):
+    """Device->host transfer of one group's flat output (runs on a fetch
+    thread).
+
+    With fetch_threads > 1 the fetches of in-flight groups overlap each
     other, device compute, and CSV rendering.  NOTE the measured caveat in
     :func:`run_inference`: the axon relay SERIALIZES transfers and degrades
     ~30x under concurrent requests, so overlap is opt-in
     (M6ANET_TPU_FETCH_THREADS) for direct-attached hardware."""
-    return tuple(np.asarray(x) for x in result)
+    return np.asarray(result)
+
+
+@jax.jit
+def _concat_group_flat(parts):
+    """JITTED device-side flatten+concat of a fetch group's outputs.
+
+    One program producing one contiguous f32 buffer, so the whole group
+    crosses device->host in a single transfer (the relay charges per
+    transfer, not per byte — PERFORMANCE.md round-4 A/B; the training loop
+    got its 15x epoch win from the same restructure).  Jitted rather than
+    eager on purpose: on the axon platform an eager computation racing
+    queued jitted programs can deadlock the execution queue."""
+    import jax.numpy as jnp
+
+    return jnp.concatenate([x.reshape(-1).astype(jnp.float32) for x in parts])
 
 
 def _write_batch(batch: SiteBatch, p, site_p, mod_ratio, f_site, f_indiv):
@@ -273,6 +304,7 @@ def run_inference(
     host_shard: Optional[Tuple[int, int]] = None,
     n_threads: int = 1,
     fetch_threads: int = 1,
+    fetch_group: int = 0,
 ) -> None:
     """Run inference over every site of the dataset and write both CSVs.
 
@@ -286,6 +318,15 @@ def run_inference(
     ``*.csv.shard{host_id}`` files; merge with :func:`merge_host_shards`.
     MC draws depend only on (seed, site read count, the site's reads), so
     results are invariant to the shard layout.
+
+    ``fetch_group`` batches G dispatches' outputs into ONE device-side
+    concatenated buffer fetched in a single device->host transfer (0 =
+    auto-size to ~256 MB of results, capped at 64 batches).  On the axon
+    relay each transfer costs ~1.4-2.4 s regardless of size, so grouping
+    collapses the former per-batch write wall (11-19 s over 8 batches at
+    full scale) to one fetch.  CSV rows are still written strictly in site
+    order, so ``--resume`` semantics are unchanged — a crash mid-group
+    just re-scores that group's sites.
     """
     os.makedirs(out_dir, exist_ok=True)
     timer = StageTimer()
@@ -299,7 +340,10 @@ def run_inference(
     # requests, so the safe default is fully serial.  On direct-attached
     # TPU hardware overlapping fetches with compute/rendering is the right
     # call: set M6ANET_TPU_FETCH_THREADS>1 (and the async hint on) there.
-    fetch_threads = int(os.environ.get("M6ANET_TPU_FETCH_THREADS", fetch_threads))
+    # The env vars only override arguments left at their defaults, so an
+    # explicit caller choice always wins.
+    fetch_threads = _env_int("M6ANET_TPU_FETCH_THREADS", fetch_threads, fetch_threads == 1)
+    fetch_group = _env_int("M6ANET_TPU_FETCH_GROUP", fetch_group, fetch_group == 0)
     async_hint = os.environ.get("M6ANET_TPU_ASYNC_FETCH_HINT", "0") != "0"
 
     shard_suffix = ""
@@ -387,9 +431,17 @@ def run_inference(
             produced += 1
             yield site
 
+    # Auto fetch-group size: ONE transfer should cover a full run at
+    # current scales (the 95k-site headline run is 8 batches) while capping
+    # device-held results at ~256 MB and giving long runs periodic output.
+    out_bytes_per_batch = 4 * (read_capacity + 2 * site_capacity)
+    if fetch_group <= 0:
+        fetch_group = max(1, min(64, (256 << 20) // out_bytes_per_batch))
+    fetch_threads = max(1, fetch_threads)
+
     # indiv file is binary: its rows are rendered natively as bytes
     with ThreadPoolExecutor(
-        max_workers=max(1, fetch_threads), thread_name_prefix="m6anet-fetch"
+        max_workers=fetch_threads, thread_name_prefix="m6anet-fetch"
     ) as fetch_pool, open(site_path, file_mode, encoding="utf-8") as f_site, open(
         indiv_path, file_mode + "b"
     ) as f_indiv:
@@ -397,16 +449,47 @@ def run_inference(
             f_site.write(SITE_HEADER)
             f_indiv.write(INDIV_HEADER.encode())
 
+        # group: dispatched batches whose (device-resident) outputs await the
+        # group flush.  Device memory: outputs are O(reads) f32, ~4 MB/batch
+        # at the 1M-read TPU capacity, <=256 MB/group by construction.  Host
+        # memory: the packed feature/kmer feed arrays are dropped at dispatch
+        # (only site metadata is retained for CSV rendering), so holding a
+        # group costs the host ~n_sites of metadata, not ~160 MB of features.
+        group: list = []
+        group_sizes: list = []
         inflight: deque = deque()
-        # in-flight batches bound device memory AND set how many d2h fetches
-        # can overlap; outputs are O(reads) floats so even 8 batches at the
-        # 1M-read TPU capacity hold <50 MB of results
-        max_inflight = max(pipeline_depth, fetch_threads)
+        # in-flight GROUPS bound how many d2h fetches can overlap (serial by
+        # default; see the relay measurements above)
+        max_inflight = max(1, fetch_threads)
 
-        def drain_one():
-            batch, fut = inflight.popleft()
+        def flush_group():
+            if not group:
+                return
+            metas = [b for b, _ in group]
+            parts = tuple(r for _, res in group for r in res)
+            if not group_sizes:
+                group_sizes.extend(int(np.prod(r.shape)) for r in group[0][1])
+            # one jitted concat -> one contiguous f32 buffer -> one transfer
+            flat = _concat_group_flat(parts)
+            if async_hint:
+                try:
+                    flat.copy_to_host_async()
+                except Exception:
+                    pass
+            inflight.append((metas, fetch_pool.submit(_fetch_result, flat)))
+            group.clear()
+
+        def drain_group():
+            metas, fut = inflight.popleft()
             with timer.stage("write"):
-                _write_batch(batch, *fut.result(), f_site=f_site, f_indiv=f_indiv)
+                flat = fut.result()
+                pos = 0
+                for b in metas:
+                    views = []
+                    for sz in group_sizes:
+                        views.append(flat[pos : pos + sz])
+                        pos += sz
+                    _write_batch(b, *views, f_site=f_site, f_indiv=f_indiv)
 
         from ..data.prefetch import threaded_iter
 
@@ -444,19 +527,19 @@ def run_inference(
                         jax.device_put(batch.counts, repl),
                     )
                 result = step(params, *args, base_key)
-                if async_hint:
-                    for r in result:
-                        # hint the runtime to start the transfer as soon as
-                        # the program finishes (no-op where unsupported)
-                        try:
-                            r.copy_to_host_async()
-                        except Exception:
-                            pass
-                inflight.append((batch, fetch_pool.submit(_fetch_result, result)))
-            if len(inflight) >= max_inflight:
-                drain_one()
+                # free the host-side packed feed arrays now — CSV rendering
+                # needs only sites/offsets/counts, and the device dispatch
+                # holds its own references to the transferred inputs
+                batch.features = batch.kmer_ids = batch.site_ids = None
+                group.append((batch, result))
+                if len(group) >= fetch_group:
+                    flush_group()
+            if len(inflight) > max_inflight:
+                drain_group()
+        with timer.stage("dispatch"):
+            flush_group()
         while inflight:
-            drain_one()
+            drain_group()
     log.info("inference stages: %s", timer.summary())
 
 

@@ -80,6 +80,12 @@ def argparser():
                              "(within the 1e-5 per-read golden tolerance); "
                              "bf16 = fast mode (~1e-3 probability error). "
                              "f32x3/bf16 need a pallas backend.")
+    parser.add_argument("--fetch_group", default=0, type=int,
+                        help="batches per device->host result fetch: outputs "
+                             "of this many dispatches are concatenated on "
+                             "device and fetched in ONE transfer (0 = auto, "
+                             "~256 MB of results, capped at 64 batches; 1 = "
+                             "per-batch fetches).")
     parser.add_argument("--resume", default=False, action="store_true",
                         help="continue an interrupted run from the last "
                              "fully-written site.")
@@ -227,6 +233,7 @@ def main(args):
         resume=getattr(args, "resume", False),
         host_shard=host_shard,
         n_threads=getattr(args, "n_processes", 1),
+        fetch_group=getattr(args, "fetch_group", 0),
     )
 
     if getattr(args, "distributed", False):

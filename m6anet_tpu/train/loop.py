@@ -28,6 +28,25 @@ from .metrics import get_pr_auc, get_roc_auc
 NON_TRAINABLE_KEYS = ("bn_mean", "bn_var")
 
 
+def derive_step_key(epoch_key: np.ndarray, step: int) -> np.ndarray:
+    """Host-side per-step dropout key: XOR the step index into key word 1.
+
+    Centralized (ADVICE r4) because it forms a disjoint-word pair with
+    :func:`advance_epoch_key`, which touches only word 0 — together they
+    guarantee (epoch, step) keys never collide.  Change both or neither."""
+    return np.array([epoch_key[0], epoch_key[1] ^ np.uint32(step + 1)], np.uint32)
+
+
+def advance_epoch_key(epoch_key: np.ndarray) -> np.ndarray:
+    """Host-side epoch advance: add the golden-ratio constant to key word 0
+    ONLY — word 1 belongs to :func:`derive_step_key`'s step XOR (see there).
+    No device dispatch (a `jax.random.split` between jitted steps is an
+    eager device program — the axon relay measurements in train_one_epoch)."""
+    return np.array(
+        [(int(epoch_key[0]) + 0x9E3779B9) & 0xFFFFFFFF, int(epoch_key[1])], np.uint32
+    )
+
+
 def _is_trainable(path) -> bool:
     leaf_key = path[-1]
     name = getattr(leaf_key, "key", getattr(leaf_key, "idx", None))
@@ -156,17 +175,14 @@ def train_one_epoch(step, params, opt_state, train_loader, rng) -> Tuple:
             # weight; see make_train_step
             batch["mask"] = (np.arange(len(batch["y"])) < n_valid).astype(np.float32)
         # distinct raw threefry key per step, no device dispatch
-        step_rng = np.array([key_host[0], key_host[1] ^ np.uint32(i + 1)], np.uint32)
+        step_rng = derive_step_key(key_host, i)
         params, opt_state, loss, pred = step(params, opt_state, batch, step_rng)
         losses.append(loss)
         y_true.append(batch["y"][:n_valid])
         pred_parts.append((pred, n_valid))
     y_true = np.concatenate(y_true)
     y_pred = _gather_preds(pred_parts)
-    rng = jnp.asarray(np.array(
-        [(int(key_host[0]) + 0x9E3779B9) & 0xFFFFFFFF, int(key_host[1])],
-        np.uint32,
-    ))
+    rng = jnp.asarray(advance_epoch_key(key_host))
     results = {
         "compute_time": time.time() - start,
         # one jitted stack + one fetch (float(l) per loss is a round trip)

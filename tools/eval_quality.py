@@ -220,7 +220,11 @@ def score_model(out_dir: str, model: str, device: str, truth: dict):
         "--input_dir", data_dir, "--out_dir", run_dir,
         "--pretrained_model", model, "--device", device, "--columnar",
     ]
-    env = dict(os.environ, PYTHONPATH=REPO + ":/root/.axon_site")
+    # prepend the repo, INHERIT any platform site dirs already on
+    # PYTHONPATH (ADVICE r4: no hardcoded environment-specific paths)
+    inherited = os.environ.get("PYTHONPATH", "")
+    pythonpath = REPO + (":" + inherited if inherited else "")
+    env = dict(os.environ, PYTHONPATH=pythonpath)
     t0 = time.time()
     subprocess.run(cmd, check=True, env=env)
     wall = time.time() - t0
