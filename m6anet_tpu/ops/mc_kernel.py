@@ -5,7 +5,7 @@ of 20 reads drawn uniformly with replacement, averaged noisy-OR
 (reference: m6anet/utils/inference_utils.py:74-87) — as one device kernel
 that is MXU-bound instead of gather-bound.
 
-Design (2026-08-20, round 3):
+Design (2026-08-20, round 3; run-batched round 5):
 
 * **Shared draws.** One uniform matrix ``U (n_samples, T)`` per iteration
   chunk, derived from the run key only.  Site s draws read
@@ -19,26 +19,31 @@ Design (2026-08-20, round 3):
   often read r is drawn in iteration t.  K depends only on the site's read
   COUNT, so sites are sorted by count (host-invisible: results are
   unsorted at the end) and ``KT (W, T)`` lives in VMEM scratch, rebuilt
-  only when the count changes — ~hundreds of rebuilds per batch instead of
-  one gather per draw.
-* **Per-site MXU matvec.** ``S = l^T @ KT`` with l the site's
-  ``log1p(-p)`` row, streamed as a pipelined (1, W) block from a dense
-  per-site window matrix.  KT entries are small integers (exact in bfloat16),
-  so a 2-pass hi/lo split of l gives ~f32 accuracy at 2 MXU passes.
-  Then ``site_p = 1 - mean_t exp(S_t)``.
-* **Chunked W (round 4).** Both the rebuild and the matvec walk only
-  ``ceil(count/128)`` 128-row chunks of the W window, not the full
-  read_cap: rebuild VPU traffic and matvec MXU k-tiles scale with each
-  site's REAL read count.  At the HEK293T count distribution (mean ~84
-  reads/site, cap 1024) that is ~8x less work than the round-3 kernel,
-  with bit-identical semantics (rows beyond a site's ceiling chunk are
-  provably zero: counts are sorted ascending, so rebuilds only ever extend
-  the written prefix over the step-0 zero fill).
+  only when the count changes.
+* **Run-batched MXU matmuls (round 5).** Sites are sorted by count, so
+  same-count sites form contiguous RUNS sharing one histogram.  The
+  round-4 kernel walked 8,192 sites sequentially, each doing an M=1
+  matvec (probes showed the op was loop-control bound: disabling the
+  matvec or the rebuild changed the 24.9 ms/batch time <1 ms).  This
+  kernel iterates RUNS: per run it computes a full-block
+  ``(G, 128) @ (128, T)`` matmul per 128-read chunk (hi/lo bf16 split,
+  f32 accumulation — bit-identical products to round 4's per-site
+  matvecs) and masks the result rows onto the run's site span.  Loop
+  iterations per block drop from G=128 to the number of distinct counts
+  in the block (typically 4–16 at the HEK293T count distribution), and
+  every MXU pass is M=128 instead of M=1.  Run boundaries are computed
+  in XLA (cumsum over count-change flags, split at block boundaries) and
+  fed through scalar prefetch.
+* **Chunked W (round 4, kept).** Both the rebuild and the matmuls walk
+  only ``ceil(count/128)`` 128-row chunks of the W window, so the
+  dominant costs scale with each run's REAL read count.  Rows at or
+  above a run's ceiling chunk are provably zero: counts are sorted
+  ascending, so rebuilds only ever extend the written prefix over the
+  step-0 zero fill.
 
-Cost per 8192-site batch at n_iters=1000 (round-3 full-W numbers were
-~2 GFLOP of matvec + ~12 G VPU ops of K builds): both now scale by
-mean(ceil(c/128)*128)/W, versus 164M random HBM gathers for the XLA
-fallback (m6anet_tpu/ops/site_ops.py::site_probability_mc).
+The remaining XLA-side cost is the per-site window slice-gather feeding
+``dense_p`` (vmapped ``dynamic_slice``; see the note at the build site and
+the probe table in PERFORMANCE.md).
 """
 from __future__ import annotations
 
@@ -54,30 +59,20 @@ LANE = 128
 
 
 def _mc_kernel(
-    counts_ref,  # scalar-prefetch SMEM (n_sites_pad,) — sorted read counts
+    counts_ref,  # scalar-prefetch SMEM (s_pad,) — sorted read counts
+    run_start_ref,  # scalar-prefetch SMEM (s_pad+1,) — first site of each run
+    block_lo_ref,  # scalar-prefetch SMEM (n_blocks,) — first run id per block
+    block_hi_ref,  # scalar-prefetch SMEM (n_blocks,) — last run id per block +1
     u_ref,  # (n_samples, T) f32 VMEM — shared draws
     p_ref,  # (1, G, W) f32 VMEM — G sites' read windows (from dense_p)
-    out_ref,  # (1, G) f32 — this step's G per-site sum_t exp(S_t)
+    out_ref,  # (G, 1) f32 — this block's per-site sum_t exp(S_t)
     kt_ref,  # (W, T) bf16 scratch — draw histogram for the current count
     lhi_ref,  # (G, W) bf16 scratch — log1p(-p) high parts, whole block
     llo_ref,  # (G, W) bf16 scratch — log1p(-p) residuals
+    s_ref,  # (G, T) f32 scratch — per-site log-sums, masked per run
     *, n_samples: int, W: int, T: int, G: int, probe=None,
 ):
     i = pl.program_id(0)
-    # G sites per grid step (round 4b): the round-4a kernel ran one site per
-    # step, and its measured 84 ms/batch was per-step overhead — 8192
-    # sequential steps each pipelining a tiny (1,1,W)=4 KB block — not
-    # compute (~5 ms).  This version DMAs G=128 site windows per step (512
-    # KB, good granularity) and walks the sites in a fori_loop.
-    #
-    # chunked-W (round 4a, kept): both the histogram rebuild and the matvec
-    # walk only ceil(count/128) 128-row chunks of the W window, so the
-    # dominant costs scale with each site's REAL read count (~8x less work
-    # than full-W at the HEK293T count distribution, mean ~84 reads).  Rows
-    # at or above a site's ceiling chunk are never written after the step-0
-    # zero fill (counts are sorted ascending, so rebuilds only ever extend
-    # the written prefix), and within the last chunk rows >= c get exact
-    # zeros from the compare — skipping them is exact, not approximate.
 
     @pl.when(i == 0)
     def _zero_kt():
@@ -92,18 +87,25 @@ def _mc_kernel(
     llo_ref[:] = (l - l_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (LANE, T), 0)
-    lane_g = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+    row_g = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
 
-    def site_body(g, acc):
-        s = i * G + g
-        c = counts_ref[s]
-        wc = (c + LANE - 1) // LANE  # chunks this site actually needs
+    r_lo = block_lo_ref[i]
+    r_hi = block_hi_ref[i]
 
-        # rebuild the histogram only when the (sorted) count changes
-        prev_c = counts_ref[jnp.maximum(s, 1) - 1]
-        do_rebuild = (s == 0) | (c != prev_c)
+    def run_body(r, _):
+        first = run_start_ref[r]
+        a = first - i * G  # local start row (>= 0: runs split at block edges)
+        b = jnp.minimum(run_start_ref[r + 1] - i * G, G)
+        c = counts_ref[first]
+        wc = (c + LANE - 1) // LANE  # chunks this run actually needs
+
+        # rebuild the histogram only when the count really changes: a run
+        # split by a block boundary has the same count as its predecessor
+        # site, and KT persists in scratch across grid steps
+        prev_c = counts_ref[jnp.maximum(first, 1) - 1]
+        do_rebuild = (first == 0) | (c != prev_c)
         if probe == "norebuild":  # perf probe: stale kt (wrong results)
-            do_rebuild = s == 0
+            do_rebuild = (i == 0) & (r == r_lo)
 
         @pl.when(do_rebuild)
         def _rebuild_kt():
@@ -116,42 +118,94 @@ def _mc_kernel(
             def build_chunk(k, _):
                 off = pl.multiple_of(k * LANE, LANE)
                 rk = rows + off
-                a = jnp.zeros((LANE, T), jnp.float32)
+                acc = jnp.zeros((LANE, T), jnp.float32)
                 for j in range(n_samples):
-                    a += (rk == idx[j, :][None, :]).astype(jnp.float32)
-                kt_ref[pl.ds(off, LANE), :] = a.astype(jnp.bfloat16)  # exact
+                    acc += (rk == idx[j, :][None, :]).astype(jnp.float32)
+                kt_ref[pl.ds(off, LANE), :] = acc.astype(jnp.bfloat16)  # exact
                 return 0
 
             jax.lax.fori_loop(0, wc, build_chunk, 0)
 
-        # site g's l-row is selected with a (1, G) one-hot MXU contraction
-        # against the scratch block (exact: one nonzero per product), chunk
-        # by chunk, and contracted against the matching KT chunk
-        onehot_g = (lane_g == g).astype(jnp.bfloat16)  # (1, G)
-
-        def mat_chunk(k, s_acc):
+        # one full-block (G, 128) @ (128, T) matmul pair per used chunk —
+        # rows outside [a, b) see the wrong KT and are masked below
+        def mat_chunk(k, acc):
             off = pl.multiple_of(k * LANE, LANE)
-            row_hi = jnp.dot(onehot_g, lhi_ref[:, pl.ds(off, LANE)],
-                             preferred_element_type=jnp.float32)
-            row_lo = jnp.dot(onehot_g, llo_ref[:, pl.ds(off, LANE)],
-                             preferred_element_type=jnp.float32)
             ktc = kt_ref[pl.ds(off, LANE), :]  # (LANE, T)
             return (
-                s_acc
-                + jnp.dot(row_hi.astype(jnp.bfloat16), ktc,
+                acc
+                + jnp.dot(lhi_ref[:, pl.ds(off, LANE)], ktc,
                           preferred_element_type=jnp.float32)
-                + jnp.dot(row_lo.astype(jnp.bfloat16), ktc,
+                + jnp.dot(llo_ref[:, pl.ds(off, LANE)], ktc,
                           preferred_element_type=jnp.float32)
             )
 
         n_mat = jnp.int32(0) if probe == "nomatvec" else wc
-        s_log = jax.lax.fori_loop(0, n_mat, mat_chunk, jnp.zeros((1, T), jnp.float32))
-        sum_exp = jnp.sum(jnp.exp(s_log))
-        return acc + jnp.where(lane_g == g, sum_exp, 0.0)
+        s_run = jax.lax.fori_loop(0, n_mat, mat_chunk, jnp.zeros((G, T), jnp.float32))
+        in_run = (row_g >= a) & (row_g < b)
+        s_ref[:] = jnp.where(in_run, s_run, s_ref[:])
+        return 0
 
-    out_ref[:] = jax.lax.fori_loop(
-        0, G, site_body, jnp.zeros((1, G), jnp.float32)
-    )
+    s_ref[:] = jnp.zeros_like(s_ref)  # nomatvec probe / belt-and-braces
+    jax.lax.fori_loop(r_lo, r_hi, run_body, 0)
+    out_ref[:] = jnp.sum(jnp.exp(s_ref[:]), axis=1, keepdims=True)
+
+
+def run_decomposition(counts_s: jnp.ndarray, G: int):
+    """Run boundaries over count-sorted (padded) sites, split at G-blocks.
+
+    Returns ``(run_start, block_lo, block_hi)``: the first site of each run
+    (s_pad-filled past the last real run, doubling as the sentinel bound),
+    and the [lo, hi) run-id range each G-block iterates."""
+    s_pad = counts_s.shape[0]
+    idx = jnp.arange(s_pad, dtype=jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), counts_s[:-1]])
+    is_start = (idx % G == 0) | (counts_s != prev)
+    run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # (s_pad,)
+    run_start = jnp.full((s_pad + 1,), s_pad, jnp.int32).at[run_id].min(idx)
+    block_lo = run_id[0::G]
+    block_hi = run_id[G - 1 :: G] + 1
+    return run_start, block_lo, block_hi
+
+
+def mc_chunk_call(
+    counts_s, run_start, block_lo, block_hi, u, dense_p,
+    *, n_samples: int, w: int, t_chunk: int, G: int,
+    probe=None, interpret: bool = False,
+):
+    """One pallas_call over all site blocks for one iteration chunk."""
+    s_pad = counts_s.shape[0]
+    return pl.pallas_call(
+        functools.partial(
+            _mc_kernel, n_samples=n_samples, W=w, T=t_chunk, G=G, probe=probe
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(s_pad // G,),
+            in_specs=[
+                pl.BlockSpec(u.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, G, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((G, 1), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((w, t_chunk), jnp.bfloat16),
+                pltpu.VMEM((G, w), jnp.bfloat16),
+                pltpu.VMEM((G, w), jnp.bfloat16),
+                pltpu.VMEM((G, t_chunk), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((s_pad, 1), jnp.float32),
+        # DELIBERATE UPPER BOUND (ADVICE r4): real matmul work scales by
+        # mean(ceil(count/128)*128)/W occupancy (~1/8 at the HEK293T count
+        # distribution) — counts are traced values, so the static estimate
+        # quotes the full-W ceiling instead
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * s_pad * w * t_chunk,
+            bytes_accessed=s_pad * w * 4,
+            transcendentals=s_pad * (w + t_chunk),
+        ),
+        interpret=interpret,
+    )(counts_s, run_start, block_lo, block_hi, u, dense_p)
 
 
 @functools.partial(
@@ -195,6 +249,11 @@ def site_probability_mc_pallas(
         lambda o: jax.lax.dynamic_slice(p_pad, (o,), (w,))
     )(offsets_s).reshape(s_pad // G, G, w)
 
+    # Run decomposition: maximal spans of equal count within each G-block
+    # (sites are sorted, so equal counts are contiguous).  Fed to the kernel
+    # through scalar prefetch; the kernel loops over RUNS, not sites.
+    run_start, block_lo, block_hi = run_decomposition(counts_s, G)
+
     chunk = min(n_iters, 1024)
     n_chunks, rem = divmod(n_iters, chunk)
     sizes = [chunk] * n_chunks + ([rem] if rem else [])
@@ -204,33 +263,11 @@ def site_probability_mc_pallas(
         u = jax.random.uniform(
             jax.random.fold_in(base_key, ci), (n_samples, t_chunk), jnp.float32
         )
-        out = pl.pallas_call(
-            functools.partial(
-                _mc_kernel, n_samples=n_samples, W=w, T=t_chunk, G=G, probe=probe
-            ),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(s_pad // G,),
-                in_specs=[
-                    pl.BlockSpec(u.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, G, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec((1, G), lambda i, *_: (0, i),
-                                       memory_space=pltpu.VMEM),
-                scratch_shapes=[
-                    pltpu.VMEM((w, t_chunk), jnp.bfloat16),
-                    pltpu.VMEM((G, w), jnp.bfloat16),
-                    pltpu.VMEM((G, w), jnp.bfloat16),
-                ],
-            ),
-            out_shape=jax.ShapeDtypeStruct((1, s_pad), jnp.float32),
-            cost_estimate=pl.CostEstimate(
-                flops=2 * 2 * s_pad * w * t_chunk,
-                bytes_accessed=s_pad * w * 4,
-                transcendentals=s_pad * (w + t_chunk),
-            ),
-            interpret=interpret,
-        )(counts_s, u, dense_p)
+        out = mc_chunk_call(
+            counts_s, run_start, block_lo, block_hi, u, dense_p,
+            n_samples=n_samples, w=w, t_chunk=t_chunk, G=G,
+            probe=probe, interpret=interpret,
+        )
         total = total + out.reshape(-1)
 
     site_p_sorted = 1.0 - total / n_iters

@@ -46,6 +46,22 @@ def argparser():
     parser.add_argument("--use_mesh", default="auto", choices=["auto", "on", "off"],
                         help="data-parallel training over all local devices "
                              "(auto = when more than one device is visible).")
+    parser.add_argument("--reseed_on_stall", default=False, action="store_true",
+                        help="detect the saturated noisy-OR plateau (loss ~6.9, "
+                             "ROC ~0.5 — a known fixed point of this model "
+                             "family in BOTH stacks, PERFORMANCE.md) and "
+                             "auto-restart with a derived seed.")
+    parser.add_argument("--stall_patience", default=20, type=int,
+                        help="consecutive plateau epochs before a restart "
+                             "(with --reseed_on_stall).")
+    parser.add_argument("--max_restarts", default=3, type=int,
+                        help="restart budget for --reseed_on_stall.")
+    parser.add_argument("--init_probability_bias", default=None, type=float,
+                        help="saturation-aware init: set the probability "
+                             "layer's bias to this value (e.g. -4) so a fresh "
+                             "init starts outside the saturated noisy-OR "
+                             "region.  Changes the init distribution vs the "
+                             "reference; off by default.")
     return parser
 
 
@@ -122,6 +138,21 @@ def main(args):
     else:
         params = model.init(jax.random.PRNGKey(args.seed))
 
+    init_bias = getattr(args, "init_probability_bias", None)
+
+    def init_fn(s):
+        p = model.init(jax.random.PRNGKey(s))
+        if init_bias is not None:
+            from ..train.loop import saturation_aware_init
+
+            p = saturation_aware_init(model, p, bias=init_bias)
+        return p
+
+    if init_bias is not None and not args.resume_from:
+        from ..train.loop import saturation_aware_init
+
+        params = saturation_aware_init(model, params, bias=init_bias)
+
     mesh = None
     use_mesh = getattr(args, "use_mesh", "auto")
     if use_mesh == "on" or (use_mesh == "auto" and len(jax.devices()) > 1):
@@ -152,6 +183,10 @@ def main(args):
         seed=args.seed,
         opt_state=opt_state,
         mesh=mesh,
+        init_fn=init_fn,
+        reseed_on_stall=getattr(args, "reseed_on_stall", False),
+        stall_patience=getattr(args, "stall_patience", 20),
+        max_restarts=getattr(args, "max_restarts", 3),
     )
 
     def _dump_results(results, path):

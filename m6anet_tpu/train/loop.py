@@ -226,6 +226,56 @@ def validate(eval_step, params, val_loader, loss_fn, n_iterations: int = 1) -> D
     return results
 
 
+# The fresh-init fixed point (PERFORMANCE.md, statistical-parity study, 30
+# of our seeds + 26 reference-torch seeds): on any fresh init of this
+# architecture the per-read probabilities sit near 0.5, the 20-read noisy-OR
+# saturates site_p at 1 - 0.5^20, and under the balanced sampler negative
+# sites contribute -log(0.5^20) = 13.86 -> mean loss ~6.93 with ROC ~0.5.
+# Both stacks escape it most of the time; ~1-in-6 seeds get their Adam
+# second moment poisoned by the clamped-backward gradient spikes at the
+# boundary and freeze there (a genuine fixed point, not slow convergence —
+# the reference torch loop stalls the same way, e.g. its seed 125).
+STALL_LOSS_RANGE = (5.5, 8.5)
+STALL_ROC_RANGE = (0.35, 0.65)
+
+
+def detect_stall(
+    losses,
+    rocs,
+    patience: int = 20,
+    loss_range: Tuple[float, float] = STALL_LOSS_RANGE,
+    roc_range: Tuple[float, float] = STALL_ROC_RANGE,
+) -> bool:
+    """True when the last ``patience`` epochs all sit in the known plateau
+    (loss near -log(0.5^20)/2 with chance-level train ROC — see the module
+    constants).  Converging runs leave the loss window within a few epochs;
+    requiring the FULL trailing window inside it keeps slow starters safe."""
+    if patience <= 0 or len(losses) < patience:
+        return False
+    lo, hi = loss_range
+    rlo, rhi = roc_range
+    return all(
+        lo <= ls <= hi and rlo <= rc <= rhi
+        for ls, rc in zip(losses[-patience:], rocs[-patience:])
+    )
+
+
+def saturation_aware_init(model, params, bias: float = -4.0):
+    """Opt-in alternative mitigation: bias the probability layer negative so
+    a fresh init starts with per-read p ~ sigmoid(bias) and site_p well below
+    1, outside the saturated noisy-OR region entirely.  Changes the init
+    distribution vs the reference torch loop, hence never the default."""
+    new = dict(params)
+    for i, blk in model.blocks:
+        key = f"block{i}"
+        bp = new.get(key)
+        from ..models.pooling import PoolingFilter
+
+        if isinstance(blk, PoolingFilter) and isinstance(bp, dict) and "b" in bp:
+            new[key] = {**bp, "b": jnp.full_like(jnp.asarray(bp["b"]), bias)}
+    return new
+
+
 def train(
     model,
     params,
@@ -242,6 +292,12 @@ def train(
     seed: int = 0,
     opt_state=None,
     mesh=None,
+    init_fn: Optional[Callable] = None,
+    reseed_on_stall: bool = False,
+    stall_patience: int = 20,
+    max_restarts: int = 3,
+    stall_loss_range: Tuple[float, float] = STALL_LOSS_RANGE,
+    stall_roc_range: Tuple[float, float] = STALL_ROC_RANGE,
 ) -> Tuple[Dict, Dict, Dict]:
     """Full training run (reference: m6anet/utils/training_utils.py:61-145).
 
@@ -252,25 +308,37 @@ def train(
     parameters/optimizer state replicated, the batch axis sharded, XLA
     inserting the gradient psum.  Batch sizes must be divisible by the device
     count (TrainLoader's ``pad_to_multiple`` wrap-pads the final batch).
+
+    ``reseed_on_stall`` (off by default — default behavior is unchanged):
+    when the run sits in the known saturated-noisy-OR plateau for
+    ``stall_patience`` consecutive epochs (see :func:`detect_stall`), restart
+    from scratch with a seed derived from the attempt number via ``init_fn``,
+    at most ``max_restarts`` times.  The reference leaves stalled runs to the
+    user's eye (reference: m6anet/utils/training_utils.py:61-145 has no
+    plateau handling); results returned are the final attempt's only.
     """
     del clip_grad
     assert save_per_epoch <= n_epoch
+    if reseed_on_stall and init_fn is None:
+        raise ValueError("reseed_on_stall requires init_fn (a seed -> params factory)")
 
     step = make_train_step(model, loss_fn, optimizer)
     eval_step = make_eval_step(model, loss_fn)
     if opt_state is None:
         opt_state = optimizer.init(params)
-    rng = jax.random.PRNGKey(seed + epoch_increment)
 
     batch_sharding = None
+    place_params = place_opt = lambda x: x
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         replicated = NamedSharding(mesh, P())
         batch_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
-        params = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), replicated), params)
-        opt_state = jax.tree.map(
-            lambda x: jax.device_put(x, replicated) if hasattr(x, "shape") else x, opt_state
+        place_params = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: jax.device_put(jnp.asarray(x), replicated), t
+        )
+        place_opt = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: jax.device_put(x, replicated) if hasattr(x, "shape") else x, t
         )
 
         raw_step, raw_eval = step, eval_step
@@ -283,39 +351,71 @@ def train(
             batch = {k: jax.device_put(v, batch_sharding) for k, v in batch.items()}
             return raw_eval(p, batch)
 
+    params = place_params(params)
+    opt_state = place_opt(opt_state)
+    rng = jax.random.PRNGKey(seed + epoch_increment)
+
     total_time = 0.0
-    train_results: Dict = {}
-    val_results: Dict = {}
+    attempt = 0
+    while True:  # one iteration per training attempt (restarts on stall)
+        train_results: Dict = {}
+        val_results: Dict = {}
+        stalled = False
 
-    for epoch in range(1, n_epoch + 1):
-        params, opt_state, rng, tr = train_one_epoch(step, params, opt_state, train_loader, rng)
-        vr = validate(eval_step, params, val_loader, loss_fn, n_iterations)
-        total_time += tr["compute_time"] + vr["compute_time"]
+        for epoch in range(1, n_epoch + 1):
+            params, opt_state, rng, tr = train_one_epoch(
+                step, params, opt_state, train_loader, rng
+            )
+            vr = validate(eval_step, params, val_loader, loss_fn, n_iterations)
+            total_time += tr["compute_time"] + vr["compute_time"]
 
+            print(
+                f"Epoch:[{epoch + epoch_increment}/{n_epoch + epoch_increment}] \t "
+                f"train time:{tr['compute_time']:.0f}s \t "
+                f"val time:{vr['compute_time']:.0f}s \t ({total_time:.0f}s)"
+            )
+            print(
+                f"Train Loss:{tr['avg_loss']:.2f}\t "
+                f"Train ROC AUC: {tr['roc_auc']:.3f}\t Train PR AUC: {tr['pr_auc']:.3f}"
+            )
+            print(
+                f"Val Loss:{vr['avg_loss']:.2f} \t "
+                f"Val ROC AUC: {vr['roc_auc']:.3f}\t Val PR AUC: {vr['pr_auc']:.3f}"
+            )
+            print("=====================================")
+
+            for key, val in tr.items():
+                train_results.setdefault(key, []).append(val)
+            for key, val in vr.items():
+                val_results.setdefault(key, []).append(val)
+
+            if (
+                reseed_on_stall
+                and attempt < max_restarts
+                and detect_stall(
+                    train_results["avg_loss"], train_results["roc_auc"],
+                    stall_patience, stall_loss_range, stall_roc_range,
+                )
+            ):
+                stalled = True
+                break
+
+            if save_dir is not None and (epoch + epoch_increment) % save_per_epoch == 0:
+                from .checkpoint import save_checkpoint
+
+                save_path = os.path.join(save_dir, "model_states", str(epoch + epoch_increment))
+                save_checkpoint(save_path, params, opt_state, epoch + epoch_increment)
+
+        if not stalled:
+            return params, train_results, val_results
+
+        attempt += 1
+        derived = seed + 9973 * attempt  # deterministic, collision-free per attempt
         print(
-            f"Epoch:[{epoch + epoch_increment}/{n_epoch + epoch_increment}] \t "
-            f"train time:{tr['compute_time']:.0f}s \t "
-            f"val time:{vr['compute_time']:.0f}s \t ({total_time:.0f}s)"
+            f"[stall] loss/ROC sat in the saturated noisy-OR plateau for "
+            f"{stall_patience} epochs — restarting with derived seed {derived} "
+            f"(attempt {attempt}/{max_restarts})"
         )
-        print(
-            f"Train Loss:{tr['avg_loss']:.2f}\t "
-            f"Train ROC AUC: {tr['roc_auc']:.3f}\t Train PR AUC: {tr['pr_auc']:.3f}"
-        )
-        print(
-            f"Val Loss:{vr['avg_loss']:.2f} \t "
-            f"Val ROC AUC: {vr['roc_auc']:.3f}\t Val PR AUC: {vr['pr_auc']:.3f}"
-        )
-        print("=====================================")
-
-        for key, val in tr.items():
-            train_results.setdefault(key, []).append(val)
-        for key, val in vr.items():
-            val_results.setdefault(key, []).append(val)
-
-        if save_dir is not None and (epoch + epoch_increment) % save_per_epoch == 0:
-            from .checkpoint import save_checkpoint
-
-            save_path = os.path.join(save_dir, "model_states", str(epoch + epoch_increment))
-            save_checkpoint(save_path, params, opt_state, epoch + epoch_increment)
-
-    return params, train_results, val_results
+        params = place_params(init_fn(derived))
+        opt_state = place_opt(optimizer.init(params))
+        rng = jax.random.PRNGKey(derived + epoch_increment)

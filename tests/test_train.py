@@ -157,6 +157,92 @@ def test_training_learns(train_datasets, tmp_path):
     assert not np.allclose(np.asarray(params["block3"]["bn_mean"]), 0.0)
 
 
+def test_detect_stall_window():
+    """The detector needs the FULL trailing window inside the plateau —
+    escaping runs (loss leaves the band) and short histories never fire."""
+    from m6anet_tpu.train.loop import detect_stall
+
+    plateau_l, plateau_r = [6.9] * 25, [0.50] * 25
+    assert detect_stall(plateau_l, plateau_r, patience=20)
+    # too short a history
+    assert not detect_stall(plateau_l[:10], plateau_r[:10], patience=20)
+    # converging: recent losses left the band
+    assert not detect_stall(plateau_l[:-1] + [1.2], plateau_r, patience=20)
+    # plateau loss but the model is actually ranking (ROC high)
+    assert not detect_stall(plateau_l, plateau_r[:-1] + [0.9], patience=20)
+    # patience 0 disables detection
+    assert not detect_stall(plateau_l, plateau_r, patience=0)
+
+
+def test_reseed_on_stall_restarts(train_datasets):
+    """Restart mechanics: with lr=0 nothing can leave the fresh-init
+    plateau, so a wide detection window fires after `patience` epochs and
+    training restarts with derived seeds until the budget is spent."""
+    from m6anet_tpu.data.loader import TrainLoader
+    from m6anet_tpu.constants import DEFAULT_MODEL_CONFIG
+    from m6anet_tpu.models.mil import MILModel
+    from m6anet_tpu.train.loop import make_optimizer, train
+    from m6anet_tpu.train.losses import binary_cross_entropy_loss
+    from m6anet_tpu.utils.config import load_toml
+
+    train_ds, val_ds = train_datasets
+    model = MILModel(load_toml(DEFAULT_MODEL_CONFIG))
+    params = model.init(jax.random.PRNGKey(0))
+    train_dl = TrainLoader(train_ds, batch_size=32, num_workers=1)
+    val_dl = TrainLoader(val_ds, batch_size=32, num_workers=1)
+
+    init_seeds = []
+
+    def init_fn(s):
+        init_seeds.append(s)
+        return model.init(jax.random.PRNGKey(s))
+
+    params, tr, vr = train(
+        model, params, train_dl, val_dl, make_optimizer(lr=0.0),
+        n_epoch=3, loss_fn=binary_cross_entropy_loss, save_per_epoch=3,
+        seed=7, init_fn=init_fn, reseed_on_stall=True, stall_patience=2,
+        max_restarts=2,
+        stall_loss_range=(0.0, 1e6), stall_roc_range=(0.0, 1.0),
+    )
+    # two restarts with distinct deterministic derived seeds, then the final
+    # attempt runs to completion and its full series is returned
+    assert init_seeds == [7 + 9973, 7 + 2 * 9973]
+    assert len(tr["avg_loss"]) == 3 and len(vr["avg_loss"]) == 3
+
+    with pytest.raises(ValueError, match="init_fn"):
+        train(
+            model, params, train_dl, val_dl, make_optimizer(lr=0.0),
+            n_epoch=1, loss_fn=binary_cross_entropy_loss, save_per_epoch=1,
+            reseed_on_stall=True,
+        )
+
+
+def test_saturation_aware_init_escapes_fixed_point():
+    """Biasing the probability layer negative moves fresh-init site_p off
+    the saturated noisy-OR boundary (site_p ~ 1) the stall study identified."""
+    from m6anet_tpu.constants import DEFAULT_MODEL_CONFIG
+    from m6anet_tpu.models.mil import MILModel
+    from m6anet_tpu.train.loop import saturation_aware_init
+    from m6anet_tpu.utils.config import load_toml
+
+    model = MILModel(load_toml(DEFAULT_MODEL_CONFIG))
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = {
+        "X": rng.normal(size=(16, 20, 9)).astype(np.float32),
+        "kmer": rng.integers(0, 66, size=(16, 20, 3)).astype(np.int32),
+    }
+    fresh, _ = model.site_probability(params, batch, train=False)
+    biased_params = saturation_aware_init(model, params, bias=-4.0)
+    biased, _ = model.site_probability(biased_params, batch, train=False)
+    assert float(np.min(fresh)) > 0.99  # the fixed point: saturated at ~1
+    assert float(np.max(biased)) < 0.9  # bias breaks the saturation
+    # only the probability layer's bias changed
+    np.testing.assert_array_equal(
+        np.asarray(biased_params["block3"]["w"]), np.asarray(params["block3"]["w"])
+    )
+
+
 def test_toml_dump_roundtrip(tmp_path):
     from m6anet_tpu.utils.config import dump_toml, load_toml
 

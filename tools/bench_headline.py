@@ -134,7 +134,10 @@ def main():
         cmd += ["--read_capacity", str(args.read_capacity)]
     if args.site_capacity is not None:
         cmd += ["--site_capacity", str(args.site_capacity)]
-    env = dict(os.environ, PYTHONPATH=REPO + ":/root/.axon_site")
+    # inherit platform site dirs from the caller's PYTHONPATH (no hardcoded
+    # environment-specific paths)
+    inherited = os.environ.get("PYTHONPATH", "")
+    env = dict(os.environ, PYTHONPATH=REPO + (":" + inherited if inherited else ""))
     times = []
     for _ in range(max(1, args.repeat)):
         t0 = time.time()

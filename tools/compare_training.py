@@ -93,7 +93,8 @@ def _install_reference_stubs():
         sys.path.insert(0, "/root/reference")
 
 
-def run_ours(config_path: str, save_dir: str, epochs: int, num_iterations: int, seed: int):
+def run_ours(config_path: str, save_dir: str, epochs: int, num_iterations: int,
+             seed: int, extra=()):
     from m6anet_tpu.scripts import train as tr
 
     args = tr.argparser().parse_args(
@@ -108,6 +109,7 @@ def run_ours(config_path: str, save_dir: str, epochs: int, num_iterations: int, 
             "--n_processes", "1",
             "--use_mesh", "off",
         ]
+        + list(extra)
     )
     tr.main(args)
     train_results = json.load(open(os.path.join(save_dir, "train_results.json")))
@@ -193,6 +195,8 @@ def compare_multi(
     n_sites: int = 1200,
     workdir=None,
     base_seed: int = 100,
+    stacks=("ours", "reference"),
+    ours_extra=(),
 ):
     """Statistical training-parity comparison (round 4).
 
@@ -222,9 +226,13 @@ def compare_multi(
     metrics = ("train_roc_auc", "train_pr_auc", "val_roc_auc", "val_pr_auc")
     runs = {"ours": [], "reference": []}
     errors = {"ours": [], "reference": []}
+    stack_fns = {"ours": run_ours, "reference": run_reference}
     for i in range(n_seeds):
         seed = base_seed + i
-        for name, fn in (("ours", run_ours), ("reference", run_reference)):
+        for name in stacks:
+            fn = stack_fns[name]
+            if name == "ours" and ours_extra:
+                fn = lambda *a, _f=stack_fns["ours"]: _f(*a, extra=ours_extra)  # noqa: E731
             run_dir = tempfile.mkdtemp(dir=work, prefix=f"{name}_s{seed}_")
             # the noisy-OR loss starts near -log(1 - (1-0.5)^20) ~ 7.5 on a
             # fresh init (site probabilities saturate at ~1), so individual
@@ -278,6 +286,12 @@ def _main():
     ap.add_argument("--n_sites", type=int, default=1200)
     ap.add_argument("--num_iterations", type=int, default=5)
     ap.add_argument("--base_seed", type=int, default=100)
+    ap.add_argument("--stacks", default="ours,reference",
+                    help="comma-separated subset of {ours,reference} to run "
+                         "(e.g. widen only the torch seed population)")
+    ap.add_argument("--ours_flag", action="append", default=[],
+                    help="extra flag(s) passed to our train CLI in --multi "
+                         "mode (e.g. --ours_flag=--reseed_on_stall)")
     args = ap.parse_args()
 
     if args.multi:
@@ -285,6 +299,8 @@ def _main():
             n_seeds=args.multi, epochs=args.epochs,
             num_iterations=args.num_iterations, n_sites=args.n_sites,
             base_seed=args.base_seed,
+            stacks=tuple(s for s in args.stacks.split(",") if s),
+            ours_extra=tuple(args.ours_flag),
         )
     else:
         rep = compare(epochs=args.epochs)

@@ -62,6 +62,8 @@ def main():
 
     counts_s_host, dense_host = jax.jit(prep)(pd, od, cd)
     counts_s_host.block_until_ready()
+    runs_host = jax.jit(functools.partial(mk.run_decomposition, G=G))(counts_s_host)
+    runs_host[0].block_until_ready()
 
     def run(tag, step):
         @functools.partial(jax.jit, static_argnums=(1,))
@@ -107,30 +109,12 @@ def main():
         dense = p_pad[offsets_s[:, None] + jnp.arange(w)[None, :]]
         return jnp.sum(dense, axis=1)
 
-    def kernel_step(counts_s, dense, carry):
+    def kernel_step(counts_s, run_start, block_lo, block_hi, dense, carry):
         u = jax.random.uniform(jax.random.fold_in(key, 0), (20, 1000), jnp.float32)
-        import jax.experimental.pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-
-        out = pl.pallas_call(
-            functools.partial(mk._mc_kernel, n_samples=20, W=w, T=1000, G=G),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(s_pad // G,),
-                in_specs=[
-                    pl.BlockSpec(u.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, G, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec((1, G), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
-                scratch_shapes=[
-                    pltpu.VMEM((w, 1000), jnp.bfloat16),
-                    pltpu.VMEM((G, w), jnp.bfloat16),
-                    pltpu.VMEM((G, w), jnp.bfloat16),
-                ],
-            ),
-            out_shape=jax.ShapeDtypeStruct((1, s_pad), jnp.float32),
-        )(counts_s, u, dense + carry)
-        return out
+        return mk.mc_chunk_call(
+            counts_s, run_start, block_lo, block_hi, u, dense + carry,
+            n_samples=20, w=w, t_chunk=1000, G=G,
+        )
 
     argsets = {
         "full": (pd, od, cd),
@@ -138,7 +122,7 @@ def main():
         "full_nomatvec": (pd, od, cd),
         "gather": (pd, od, cd),
         "gather_elem": (pd, od, cd),
-        "kernel": (counts_s_host, dense_host),
+        "kernel": (counts_s_host, *runs_host, dense_host),
     }
     steps = {
         "full": full_step, "gather": gather_step,
