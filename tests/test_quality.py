@@ -1,26 +1,52 @@
-"""Model-quality floor on the synthesized labelled eval set.
+"""Model-quality floors on the synthesized labelled eval set — all 4 models.
 
 In-repo stand-in for the reference's published arabidopsis single-molecule
 ROC 0.89 / PR 0.90 (reference: README.md:271, docs/source/release_notes.rst:146
 — that dataset is not in this environment).  tools/eval_quality.py resamples
 real labelled demo reads into sequence-matched synthetic sites (sequence
-content cannot leak the label) and scores them through the real CLI; this
-test asserts the released HCT116 model stays above a quality floor well
-below its measured ~0.95 ROC / ~0.94 PR, so a parity-breaking regression in
-the pipeline (normalization, packing, kernels, CSV) trips it.
+content cannot leak the label) and scores them through the real CLI.
+
+Each released model gets its own floor at measured-0.03 (2026-08-21, this
+eval set is deterministic: n_sites=300/seed=1), so a parity-breaking
+regression anywhere in the pipeline — normalization (arabidopsis exercises
+its own 66-kmer norm table), packing, kernels, CSV — trips the matching
+floor.  The RNA004 models score lower here by construction (the demo corpus
+is RNA002 chemistry), which is exactly why they carry their own measured
+floors instead of sharing HCT116's.
 """
 import os
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
+# model -> (roc floor, pr floor) = measured - 0.03 (values above)
+QUALITY_FLOORS = {
+    "HCT116_RNA002": (0.92, 0.92),  # measured 0.9563 / 0.9591
+    "arabidopsis_RNA002": (0.88, 0.88),  # measured 0.9169 / 0.9191
+    "HEK293T_RNA004": (0.62, 0.66),  # measured 0.6566 / 0.6982
+    "HEK293T_RNA004_M6ACE": (0.71, 0.67),  # measured 0.7488 / 0.7064
+}
 
-def test_pretrained_quality_floor(tmp_path):
+
+@pytest.fixture(scope="module")
+def eval_truth(tmp_path_factory):
     import eval_quality
 
-    truth = eval_quality.build_eval_set(str(tmp_path), 300, seed=1)
-    res = eval_quality.score_model(str(tmp_path), "HCT116_RNA002", "cpu", truth)
+    out = tmp_path_factory.mktemp("quality_eval")
+    truth = eval_quality.build_eval_set(str(out), 300, seed=1)
+    return str(out), truth
+
+
+@pytest.mark.parametrize("model", sorted(QUALITY_FLOORS))
+def test_pretrained_quality_floor(eval_truth, model):
+    import eval_quality
+
+    out_dir, truth = eval_truth
+    roc_floor, pr_floor = QUALITY_FLOORS[model]
+    res = eval_quality.score_model(out_dir, model, "cpu", truth)
     assert res["n_scored"] == 300
-    assert res["roc_auc"] >= 0.85, res
-    assert res["pr_auc"] >= 0.85, res
+    assert res["roc_auc"] >= roc_floor, res
+    assert res["pr_auc"] >= pr_floor, res

@@ -21,6 +21,10 @@ import pytest
 
 from m6anet_tpu.models import BLOCK_REGISTRY
 
+# reference checkout root (a clone of GoekeLab/m6anet); overridable so CI
+# lanes can place it anywhere
+REFERENCE_DIR = os.environ.get("M6ANET_TPU_REFERENCE_DIR", "/root/reference")
+
 # --------------------------------------------------------------------- imports
 
 
@@ -29,7 +33,7 @@ def _load_reference_blocks():
     if "pkg_resources" not in sys.modules:
         stub = types.ModuleType("pkg_resources")
         stub.resource_filename = lambda pkg, path: os.path.join(
-            "/root/reference", pkg.replace(".", "/"), path
+            REFERENCE_DIR, pkg.replace(".", "/"), path
         )
         sys.modules["pkg_resources"] = stub
     if "ujson" not in sys.modules:
@@ -48,8 +52,8 @@ def _load_reference_blocks():
         tq = types.ModuleType("tqdm")
         tq.tqdm = lambda it=None, *a, **k: it
         sys.modules["tqdm"] = tq
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
     from m6anet.model.model_blocks import blocks as fb  # noqa: E402
     from m6anet.model.model_blocks import pooling_blocks as pb  # noqa: E402
 
@@ -59,7 +63,7 @@ def _load_reference_blocks():
 # This suite alone needs the reference *source* (it parity-tests against the
 # reference's own torch modules); the rest of the test suite runs from the
 # vendored fixtures in tests/data and does not need /root/reference at all.
-if not os.path.isdir("/root/reference/m6anet"):
+if not os.path.isdir(os.path.join(REFERENCE_DIR, "m6anet")):
     pytest.skip(
         "reference checkout not present; block-parity suite compares against "
         "the reference's own torch code",

@@ -10,6 +10,8 @@ import pytest
 
 from m6anet_tpu.constants import DEFAULT_NORM_PATH
 
+REFERENCE_DIR = os.environ.get("M6ANET_TPU_REFERENCE_DIR", "/root/reference")
+
 DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 
 
@@ -374,7 +376,7 @@ def test_summary_stats_probability_architecture_infers():
 
 
 @pytest.mark.skipif(
-    not (os.path.isdir("/root/reference/m6anet") and os.environ.get("M6ANET_TPU_SLOW_TESTS")),
+    not (os.path.isdir(os.path.join(REFERENCE_DIR, "m6anet")) and os.environ.get("M6ANET_TPU_SLOW_TESTS")),
     reason="opt-in (set M6ANET_TPU_SLOW_TESTS=1; needs the reference checkout): "
     "trains BOTH stacks to convergence (~3 min)",
 )
@@ -401,7 +403,7 @@ def test_training_matches_reference_torch_loop():
 
 
 @pytest.mark.skipif(
-    not (os.path.isdir("/root/reference/m6anet") and os.environ.get("M6ANET_TPU_SLOW_TESTS")),
+    not (os.path.isdir(os.path.join(REFERENCE_DIR, "m6anet")) and os.environ.get("M6ANET_TPU_SLOW_TESTS")),
     reason="opt-in (set M6ANET_TPU_SLOW_TESTS=1; needs the reference checkout): "
     "multi-seed statistical training parity (~15 min)",
 )

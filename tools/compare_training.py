@@ -22,9 +22,14 @@ import sys
 import tempfile
 import types
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-DATA_DIR = "/root/repo/tests/data"
+# reference checkout root (a clone of GoekeLab/m6anet); overridable so CI
+# lanes can place it anywhere
+REFERENCE_DIR = os.environ.get("M6ANET_TPU_REFERENCE_DIR", "/root/reference")
+
+DATA_DIR = os.path.join(REPO, "tests", "data")
 NORM_JOBLIB = os.path.join(DATA_DIR, "reference_assets", "rna002_hct116.joblib")
 
 TRAIN_CONFIG = """\
@@ -56,7 +61,7 @@ def _install_reference_stubs():
     if "pkg_resources" not in sys.modules:
         stub = types.ModuleType("pkg_resources")
         stub.resource_filename = lambda pkg, path: os.path.join(
-            "/root/reference", pkg.replace(".", "/"), path
+            REFERENCE_DIR, pkg.replace(".", "/"), path
         )
         sys.modules["pkg_resources"] = stub
     if "ujson" not in sys.modules:
@@ -89,8 +94,8 @@ def _install_reference_stubs():
         # torch._dynamo introspects module specs of everything imported
         tq.__spec__ = importlib.machinery.ModuleSpec("tqdm", None)
         sys.modules["tqdm"] = tq
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
 
 
 def run_ours(config_path: str, save_dir: str, epochs: int, num_iterations: int,
