@@ -81,7 +81,11 @@ def main():
         site_capacity, read_capacity, n_chain = 1024, 65536, 2
         backend, precision = "xla", "f32"  # pallas interpret mode is slow on CPU
     else:
-        site_capacity, read_capacity, n_chain = 65536, 4194304, 8
+        # n_chain 32: one dispatch+fetch round trip through the relay costs a
+        # FIXED ~26 ms regardless of chain length (measured 2026-08-21 with a
+        # trivial-body chain), so short chains understate steady-state
+        # throughput — at 8 steps that overhead was ~27% of the measurement
+        site_capacity, read_capacity, n_chain = 65536, 4194304, 32
         backend, precision = "pallas_fused", "f32x3"
 
     with open(DEFAULT_MODEL_CONFIG, "rb") as f:

@@ -322,13 +322,16 @@ def _fused_infer_kernel_t(
     # is built directly in the dot's native dtype (skips a (66, block)
     # convert per position; the dot's internal astype becomes a no-op)
     oh_dtype = jnp.float32 if compute_dtype == jnp.float32 else jnp.bfloat16
-    et = jnp.concatenate(
-        [
-            onehot_dot(embT, (rows == kt_ref[j, :][None, :]).astype(oh_dtype))
-            for j in range(n_pos)
-        ],
-        axis=0,
-    )  # (2P, block) — exact row selection
+    if probe == "noembed":  # perf probe only: skip the one-hot embedding build
+        et = jnp.zeros((2 * n_pos, block), jnp.float32)
+    else:
+        et = jnp.concatenate(
+            [
+                onehot_dot(embT, (rows == kt_ref[j, :][None, :]).astype(oh_dtype))
+                for j in range(n_pos)
+            ],
+            axis=0,
+        )  # (2P, block) — exact row selection
     # first layer runs at HIGHEST even in f32x3 mode: its k=15 contraction
     # costs one MXU k-tile regardless of passes, and keeping it exact holds
     # the whole-model f32x3 error inside the 1e-5 per-read golden tolerance

@@ -117,7 +117,10 @@ def main():
         for tok in variant.split("_"):
             if tok.startswith("b") and tok[1:].isdigit():
                 block = int(tok[1:])
-        probe = "nosite" if "nosite" in variant else None
+        probe = None
+        for tok in ("nosite", "noembed"):
+            if tok in variant:
+                probe = tok
 
         def step(params, feats, kmers, sids, offs, cnts):
             fpt = prepare_fused_params_t(params)
