@@ -7,7 +7,7 @@ device-resident batched MIL inference with fused kernels, and data-parallel
 scale-out over a `jax.sharding.Mesh`.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 
 def main():
