@@ -144,6 +144,38 @@ def test_mc_kernel_multichunk_matches_oracle():
         np.testing.assert_allclose(got[s], want, atol=2e-4)
 
 
+def test_mc_run_decomposition():
+    """Round-5 run-batched kernel prep: runs are maximal equal-count spans,
+    split at G-block boundaries, with the s_pad sentinel bounding the last
+    real run and block [lo, hi) run ranges covering every site exactly once."""
+    from m6anet_tpu.ops.mc_kernel import run_decomposition
+
+    G = 4
+    # sorted counts over 3 blocks of 4: a run inside a block, a run spanning
+    # a block boundary (count 7), and a trailing constant run
+    counts_s = jnp.asarray(np.array([2, 2, 7, 7, 7, 7, 9, 9, 9, 9, 9, 9], np.int32))
+    run_start, block_lo, block_hi = jax.jit(
+        lambda c: run_decomposition(c, G)
+    )(counts_s)
+    run_start, block_lo, block_hi = map(np.asarray, (run_start, block_lo, block_hi))
+
+    s_pad = len(counts_s)
+    # runs: [0,2)=2s, [2,4)=7s, [4,6)=7s (block split), [6,8)=9s (block
+    # split at 8), [8,12)=9s
+    np.testing.assert_array_equal(run_start[:5], [0, 2, 4, 6, 8])
+    assert (run_start[5:] == s_pad).all()  # sentinel fill
+    np.testing.assert_array_equal(block_lo, [0, 2, 4])
+    np.testing.assert_array_equal(block_hi, [2, 4, 5])
+    # coverage: every block's runs tile its [i*G, (i+1)*G) rows exactly
+    for i in range(3):
+        rows = []
+        for r in range(block_lo[i], block_hi[i]):
+            a = max(int(run_start[r]) - i * G, 0)
+            b = min(int(run_start[r + 1]) - i * G, G)
+            rows.extend(range(a, b))
+        assert rows == list(range(G)), (i, rows)
+
+
 def test_mc_is_placement_invariant():
     """A site's MC estimate depends only on (seed, its reads): moving the
     site to a different batch slot must not change its value — host-shard

@@ -85,12 +85,15 @@ def main():
     n_chain = 8
     if variant.startswith("mc"):
         # MC-1000 resamples ~310x the real read volume; smaller batches keep
-        # the per-chunk gather buffers inside this relay slice's memory
-        site_capacity, read_capacity, n_chain = 8192, 524288, 2
+        # the per-chunk gather buffers inside this relay slice's memory.
+        # n_chain 16: the relay charges a fixed ~26 ms per dispatch+fetch
+        # round trip (PERFORMANCE.md round-5 correction) — short chains
+        # bury the measurement in it
+        site_capacity, read_capacity, n_chain = 8192, 524288, 16
     if variant.startswith("mcstep"):
         # the engine's production composition: fused encoder kernel + MC
         # kernel in one program, at the TPU-default batch capacities
-        site_capacity, read_capacity, n_chain = 16384, 1048576, 2
+        site_capacity, read_capacity, n_chain = 16384, 1048576, 16
 
     with open(DEFAULT_MODEL_CONFIG, "rb") as f:
         config = tomllib.load(f)
