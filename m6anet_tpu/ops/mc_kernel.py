@@ -41,9 +41,16 @@ Design (2026-08-20, round 3; run-batched round 5):
   ascending, so rebuilds only ever extend the written prefix over the
   step-0 zero fill.
 
-The remaining XLA-side cost is the per-site window slice-gather feeding
-``dense_p`` (vmapped ``dynamic_slice``; see the note at the build site and
-the probe table in PERFORMANCE.md).
+* **In-kernel window alignment (round 5b).** The round-5a op spent 84% of
+  its time in the XLA per-site window slice-gather (7.3 ms — measured
+  per-slice-overhead-bound: w=128 windows cost the same as w=1024).  XLA
+  ROW gathers on a ``(N/128, 128)`` view are nearly free, so the prep now
+  row-gathers each (sorted) site's ``W/128 + 1`` covering rows and the
+  kernel fixes the per-site lane misalignment itself: the shift
+  ``s = offset % 128`` is decomposed ``s = 8q + r`` and applied as 16 + 8
+  STATIC-offset masked select-adds, fully vectorized over the (G, W)
+  block — no per-site loop, no dynamic lane slicing, bit-identical window
+  values.
 """
 from __future__ import annotations
 
@@ -64,7 +71,8 @@ def _mc_kernel(
     block_lo_ref,  # scalar-prefetch SMEM (n_blocks,) — first run id per block
     block_hi_ref,  # scalar-prefetch SMEM (n_blocks,) — last run id per block +1
     u_ref,  # (n_samples, T) f32 VMEM — shared draws
-    p_ref,  # (1, G, W) f32 VMEM — G sites' read windows (from dense_p)
+    rows_ref,  # (1, G, W+128) f32 VMEM — row-aligned covering rows per site
+    shift_ref,  # (1, s_pad) i32 VMEM (blocked (1, G)) — offset % 128 per site
     out_ref,  # (G, 1) f32 — this block's per-site sum_t exp(S_t)
     kt_ref,  # (W, T) bf16 scratch — draw histogram for the current count
     lhi_ref,  # (G, W) bf16 scratch — log1p(-p) high parts, whole block
@@ -78,10 +86,31 @@ def _mc_kernel(
     def _zero_kt():
         kt_ref[:] = jnp.zeros_like(kt_ref)
 
+    # ---- in-kernel window alignment (round 5b) ----
+    # rows_ref holds each site's W/128+1 covering 128-lane rows of packed p
+    # flattened to one (W+128)-wide row; the site's true window starts at
+    # lane s = offset % 128.  Apply the shift as two passes of STATIC-offset
+    # masked select-adds (s = 8q + r, q<16, r<8) — vectorized over all G
+    # sites, no per-site loop, exact value selection.
+    s_col = jnp.transpose(shift_ref[:]).astype(jnp.int32)  # (G, 1)
+    q_col, r_col = s_col // 8, s_col % 8
+    a = rows_ref[0]  # (G, W+128)
+    coarse = jnp.zeros((G, W + 8), jnp.float32)
+    if probe != "noshift":
+        for kappa in range(16):
+            coarse = coarse + jnp.where(
+                q_col == kappa, a[:, 8 * kappa : 8 * kappa + W + 8], 0.0
+            )
+        win = jnp.zeros((G, W), jnp.float32)
+        for rho in range(8):
+            win = win + jnp.where(r_col == rho, coarse[:, rho : rho + W], 0.0)
+    else:  # perf probe only: skip the alignment (wrong results)
+        win = a[:, :W]
+
     # whole-block log1p(-p), split hi+lo into bf16 scratch once per step;
     # clamp: p==1.0 gives log1p(-1)=-inf, and 0 * -inf would NaN through
     # the matmul for reads that are never drawn
-    l = jnp.maximum(jnp.log1p(-p_ref[0]), -1e4)  # (G, W) f32
+    l = jnp.maximum(jnp.log1p(-win), -1e4)  # (G, W) f32
     l_hi = l.astype(jnp.bfloat16)
     lhi_ref[:] = l_hi
     llo_ref[:] = (l - l_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -168,11 +197,15 @@ def run_decomposition(counts_s: jnp.ndarray, G: int):
 
 
 def mc_chunk_call(
-    counts_s, run_start, block_lo, block_hi, u, dense_p,
+    counts_s, run_start, block_lo, block_hi, u, rows, shifts,
     *, n_samples: int, w: int, t_chunk: int, G: int,
     probe=None, interpret: bool = False,
 ):
-    """One pallas_call over all site blocks for one iteration chunk."""
+    """One pallas_call over all site blocks for one iteration chunk.
+
+    ``rows`` is the (n_blocks, G, w+128) row-aligned covering-rows tensor
+    (from :func:`window_rows`), ``shifts`` the (1, s_pad) per-site lane
+    shifts; the kernel aligns windows itself (round 5b)."""
     s_pad = counts_s.shape[0]
     return pl.pallas_call(
         functools.partial(
@@ -183,7 +216,9 @@ def mc_chunk_call(
             grid=(s_pad // G,),
             in_specs=[
                 pl.BlockSpec(u.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, G, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, G, w + LANE), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, G), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((G, 1), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
@@ -205,7 +240,26 @@ def mc_chunk_call(
             transcendentals=s_pad * (w + t_chunk),
         ),
         interpret=interpret,
-    )(counts_s, run_start, block_lo, block_hi, u, dense_p)
+    )(counts_s, run_start, block_lo, block_hi, u, rows, shifts)
+
+
+def window_rows(p: jnp.ndarray, offsets_s: jnp.ndarray, w: int, G: int):
+    """Row-aligned covering rows + lane shifts for every (sorted) site.
+
+    Replaces the round-5a per-site window slice-gather (7.3 ms/batch,
+    per-slice-overhead-bound) with an XLA ROW gather on a (rows, 128) view
+    (measured ~free) — the kernel applies the per-site lane shift itself.
+    """
+    s_pad = offsets_s.shape[0]
+    R = w // LANE + 1
+    n = p.shape[0]
+    n_rows = -(-(n + w + 2 * LANE) // LANE)
+    p_pad = jnp.zeros((n_rows * LANE,), jnp.float32).at[:n].set(p.astype(jnp.float32))
+    p2 = p_pad.reshape(n_rows, LANE)
+    base = offsets_s // LANE  # (s_pad,)
+    shifts = (offsets_s % LANE).reshape(1, s_pad)
+    rows = p2[base[:, None] + jnp.arange(R, dtype=base.dtype)[None, :]]
+    return rows.reshape(s_pad // G, G, R * LANE), shifts
 
 
 @functools.partial(
@@ -237,17 +291,11 @@ def site_probability_mc_pallas(
     s_pad = -(-n_sites // G) * G
     counts_s = jnp.zeros((s_pad,), jnp.int32).at[:n_sites].set(counts[order])
     offsets_s = jnp.zeros((s_pad,), jnp.int32).at[:n_sites].set(offsets[order])
-    p_pad = jnp.concatenate([p.astype(jnp.float32), jnp.zeros((w,), jnp.float32)])
-    # dense per-site read windows: one contiguous w-slice per (sorted) site,
-    # streamed into the kernel as pipelined (1, G, w) blocks (a Mosaic 1D
-    # dynamic-offset DMA cannot prove tile alignment, so the slicing happens
-    # here in XLA instead).  vmapped dynamic_slice, NOT p_pad[offs[:,None] +
-    # arange(w)]: the latter hands XLA an (S, w) index matrix that lowers to
-    # per-ELEMENT gathers (measured 67 ms/batch on device, 90% of the whole
-    # MC op); contiguous slice-gathers run the same windows in 14 ms.
-    dense_p = jax.vmap(
-        lambda o: jax.lax.dynamic_slice(p_pad, (o,), (w,))
-    )(offsets_s).reshape(s_pad // G, G, w)
+    # round-5b window feed: fast ROW gather of covering rows + in-kernel
+    # lane alignment (see window_rows).  Historical formulations, both
+    # measured and rejected: per-element index-matrix gather 67 ms/batch,
+    # vmapped dynamic_slice windows 7.3 ms (per-slice-overhead-bound).
+    rows, shifts = window_rows(p, offsets_s, w, G)
 
     # Run decomposition: maximal spans of equal count within each G-block
     # (sites are sorted, so equal counts are contiguous).  Fed to the kernel
@@ -264,7 +312,7 @@ def site_probability_mc_pallas(
             jax.random.fold_in(base_key, ci), (n_samples, t_chunk), jnp.float32
         )
         out = mc_chunk_call(
-            counts_s, run_start, block_lo, block_hi, u, dense_p,
+            counts_s, run_start, block_lo, block_hi, u, rows, shifts,
             n_samples=n_samples, w=w, t_chunk=t_chunk, G=G,
             probe=probe, interpret=interpret,
         )

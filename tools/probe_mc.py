@@ -50,17 +50,16 @@ def main():
     s_pad = -(-site_capacity // G) * G
 
     def prep(p, offsets, counts):
-        # mirrors mc_kernel.py's shipped prep: vmapped dynamic_slice
-        # (contiguous slice-gathers).  See the "gather_elem" probe for the
-        # replaced per-element index-matrix formulation (67 vs 14 ms/batch).
+        # mirrors mc_kernel.py's shipped prep (round 5b): argsort + ROW
+        # gather of covering rows + shifts.  See "gather_slice"/"gather_elem"
+        # for the replaced formulations (7.3 / 67 ms per batch).
         order = jnp.argsort(counts)
         counts_s = jnp.zeros((s_pad,), jnp.int32).at[:site_capacity].set(counts[order])
         offsets_s = jnp.zeros((s_pad,), jnp.int32).at[:site_capacity].set(offsets[order])
-        p_pad = jnp.concatenate([p, jnp.zeros((w,), jnp.float32)])
-        dense = jax.vmap(lambda o: jax.lax.dynamic_slice(p_pad, (o,), (w,)))(offsets_s)
-        return counts_s, dense.reshape(s_pad // G, G, w)
+        rows, shifts = mk.window_rows(p, offsets_s, w, G)
+        return counts_s, rows, shifts
 
-    counts_s_host, dense_host = jax.jit(prep)(pd, od, cd)
+    counts_s_host, rows_host, shifts_host = jax.jit(prep)(pd, od, cd)
     counts_s_host.block_until_ready()
     runs_host = jax.jit(functools.partial(mk.run_decomposition, G=G))(counts_s_host)
     runs_host[0].block_until_ready()
@@ -98,8 +97,17 @@ def main():
         return step
 
     def gather_step(p, offsets, counts, carry):
-        _, dense = prep(p + carry, offsets, counts)
-        return jnp.sum(dense, axis=(1, 2))
+        _, rows, shifts = prep(p + carry, offsets, counts)
+        return jnp.sum(rows, axis=(1, 2)) + jnp.sum(shifts.astype(jnp.float32))
+
+    def gather_slice_step(p, offsets, counts, carry):
+        # the round-5a vmapped dynamic_slice window gather, kept for
+        # comparison (per-slice-overhead-bound: ~0.9 us x s_pad)
+        order = jnp.argsort(counts)
+        offsets_s = jnp.zeros((s_pad,), jnp.int32).at[:site_capacity].set(offsets[order])
+        p_pad = jnp.concatenate([p + carry, jnp.zeros((w,), jnp.float32)])
+        dense = jax.vmap(lambda o: jax.lax.dynamic_slice(p_pad, (o,), (w,)))(offsets_s)
+        return jnp.sum(dense, axis=1)
 
     def gather_elem_step(p, offsets, counts, carry):
         # the round-3 per-element index-matrix gather, kept for comparison
@@ -109,10 +117,10 @@ def main():
         dense = p_pad[offsets_s[:, None] + jnp.arange(w)[None, :]]
         return jnp.sum(dense, axis=1)
 
-    def kernel_step(counts_s, run_start, block_lo, block_hi, dense, carry):
+    def kernel_step(counts_s, run_start, block_lo, block_hi, rows, shifts, carry):
         u = jax.random.uniform(jax.random.fold_in(key, 0), (20, 1000), jnp.float32)
         return mk.mc_chunk_call(
-            counts_s, run_start, block_lo, block_hi, u, dense + carry,
+            counts_s, run_start, block_lo, block_hi, u, rows + carry, shifts,
             n_samples=20, w=w, t_chunk=1000, G=G,
         )
 
@@ -122,13 +130,17 @@ def main():
         "full_nomatvec": (pd, od, cd),
         "gather": (pd, od, cd),
         "gather_elem": (pd, od, cd),
-        "kernel": (counts_s_host, *runs_host, dense_host),
+        "gather_slice": (pd, od, cd),
+        "full_noshift": (pd, od, cd),
+        "kernel": (counts_s_host, *runs_host, rows_host, shifts_host),
     }
     steps = {
         "full": full_step, "gather": gather_step,
         "full_norebuild": make_probed("norebuild"),
         "full_nomatvec": make_probed("nomatvec"),
-        "gather_elem": gather_elem_step, "kernel": kernel_step,
+        "full_noshift": make_probed("noshift"),
+        "gather_elem": gather_elem_step, "gather_slice": gather_slice_step,
+        "kernel": kernel_step,
     }
     which = sys.argv[2].split(",") if len(sys.argv) > 2 else ["gather", "kernel", "full"]
     for tag in which:
