@@ -25,7 +25,8 @@ DEFAULT_SITE_CAPACITY = 1024
 @dataclass
 class SiteBatch:
     features: np.ndarray  # (read_capacity, 3*(2w+1)) float32
-    kmer_ids: np.ndarray  # (read_capacity, 2w+1) int32
+    kmer_ids: np.ndarray  # (read_capacity, 2w+1) int8 (vocab 66; the engine
+    # casts to int32 on device — int8 saves 9 MB of h2d per 1M-read batch)
     site_ids: np.ndarray  # (read_capacity,) int32; padding == site_capacity
     offsets: np.ndarray  # (site_capacity,) int32 first-read offset per site
     counts: np.ndarray  # (site_capacity,) int32 true read counts (0 = pad)
@@ -53,7 +54,7 @@ def pack_sites(
     def new_buffers(nf, npos):
         return (
             np.zeros((read_capacity, nf), np.float32),
-            np.zeros((read_capacity, npos), np.int32),
+            np.zeros((read_capacity, npos), np.int8),
             np.full((read_capacity,), site_capacity, np.int32),
             np.zeros((site_capacity,), np.int32),
             np.zeros((site_capacity,), np.int32),

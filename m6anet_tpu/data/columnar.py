@@ -319,7 +319,9 @@ class ColumnarSiteDataset:
             n_sites = len(raws)
 
             feats = np.zeros((read_capacity, n_features), np.float32)
-            kmers = np.zeros((read_capacity, self.n_positions), np.int32)
+            # int8 kmers (vocab 66): the engine ships this buffer to the
+            # device verbatim — 9 MB less h2d per 1M-read batch
+            kmers = np.zeros((read_capacity, self.n_positions), np.int8)
             site_ids = np.full((read_capacity,), site_capacity, np.int32)
             offsets = np.zeros((site_capacity,), np.int32)
             counts_buf = np.zeros((site_capacity,), np.int32)

@@ -90,6 +90,25 @@ def resolve_backend(
     return backend, precision
 
 
+def derive_site_ids(offsets, counts, n_reads: int, site_capacity: int):
+    """In-graph reconstruction of the packed per-read site-id vector.
+
+    pack_sites lays reads out densely — site i occupies
+    [offsets[i], offsets[i]+counts[i]) with no gaps and padding at the tail —
+    so site_ids is fully determined by (offsets, counts): scatter a mark at
+    every real site's first read, prefix-sum, and send the padding tail to
+    ``site_capacity``.  Computing it on device instead of shipping it saves
+    4 MB of host->device transfer per 1M-read batch (the relay moves
+    ~20 MB/s — PERFORMANCE.md round-5 h2d probe)."""
+    import jax.numpy as jnp
+
+    idx = jnp.where(counts > 0, offsets, n_reads)  # padding sites dropped
+    marks = jnp.zeros((n_reads + 1,), jnp.int32).at[idx].add(1)
+    ids = jnp.cumsum(marks[:n_reads]) - 1
+    total = jnp.sum(counts)
+    return jnp.where(jnp.arange(n_reads) < total, ids, site_capacity)
+
+
 def make_infer_step(
     model: MILModel,
     site_capacity: int,
@@ -111,6 +130,11 @@ def make_infer_step(
     bfloat16 with f32 accumulation: one MXU pass instead of ~6, at ~1e-3
     probability error — outside the per-read parity tolerance but well inside
     the site-level one.  f32 (default) is bit-stable parity mode.
+
+    Transfer-lean input contract (round 5): ``kmer_ids`` may arrive in any
+    integer dtype (the engine ships int8 — the vocabulary is 66) and
+    ``site_ids`` may be ``None``, in which case it is derived in-graph from
+    (offsets, counts) via :func:`derive_site_ids`.
     """
     if method not in ("exact", "mc"):
         raise ValueError(f"site_proba method must be 'exact' or 'mc', got {method!r}")
@@ -136,6 +160,11 @@ def make_infer_step(
 
         @partial(jax.jit, donate_argnums=())
         def fused_step(params, features, kmer_ids, site_ids, offsets, counts, base_key):
+            kmer_ids = kmer_ids.astype(jnp.int32)  # int8 over the wire
+            if site_ids is None:
+                site_ids = derive_site_ids(
+                    offsets, counts, features.shape[0], site_capacity
+                )
             fp = prepare_fused_params_t(params)
             p, site_p, mod_ratio = fused_inference_t(
                 fp, features, kmer_ids, site_ids, counts, threshold, n_samples,
@@ -174,6 +203,13 @@ def make_infer_step(
     # racing a jitted dispatch can deadlock the execution queue.
     @partial(jax.jit, donate_argnums=())
     def step(params, features, kmer_ids, site_ids, offsets, counts, base_key):
+        import jax.numpy as jnp
+
+        kmer_ids = kmer_ids.astype(jnp.int32)  # int8 over the wire
+        if site_ids is None:
+            site_ids = derive_site_ids(
+                offsets, counts, features.shape[0], site_capacity
+            )
         p = per_read_prob(params, features, kmer_ids)
         if method == "exact":
             site_p = site_ops.site_probability_exact(p, site_ids, counts, site_capacity, n_samples)
@@ -514,15 +550,22 @@ def run_inference(
                         f"read window ({mc_read_cap}); rerun dataprep with "
                         "--readcount_max <= the window, or use --backend xla"
                     )
+                # transfer-lean inputs: kmer ids ship int8 (vocab 66) and
+                # site_ids ship NOT AT ALL (derived in-graph from
+                # offsets+counts) — 16 MB less h2d per 1M-read batch on a
+                # ~20 MB/s relay link
+                kmer_wire = batch.kmer_ids
+                if kmer_wire is not None and kmer_wire.dtype != np.int8:
+                    kmer_wire = kmer_wire.astype(np.int8)
                 args = (
-                    batch.features, batch.kmer_ids, batch.site_ids,
+                    batch.features, kmer_wire, None,
                     batch.offsets, batch.counts,
                 )
                 if mesh is not None:
                     args = (
                         jax.device_put(batch.features, read_shard),
-                        jax.device_put(batch.kmer_ids, read_shard),
-                        jax.device_put(batch.site_ids, read_shard),
+                        jax.device_put(kmer_wire, read_shard),
+                        None,
                         jax.device_put(batch.offsets, repl),
                         jax.device_put(batch.counts, repl),
                     )
