@@ -214,6 +214,26 @@ def test_fetch_grouping_and_thread_overlap_identical(production_model, tmp_path,
         assert (tmp_path / "threaded" / name).read_bytes() == want
 
 
+def test_derive_site_ids_matches_packer(production_model):
+    """The in-graph site-id reconstruction (transfer-lean inputs, round 5)
+    must reproduce pack_sites' site_ids exactly — including padding sites
+    (count 0) and the padding read tail — for every demo batch shape."""
+    import jax
+
+    from m6anet_tpu.data.batching import pack_sites
+    from m6anet_tpu.inference.engine import derive_site_ids
+
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    ds = build_dataset(DATA_DIR, min_reads=DEFAULT_MIN_READS, norm_path=norm, mode="Inference")
+    fn = jax.jit(derive_site_ids, static_argnums=(2, 3))
+    n_batches = 0
+    for batch in pack_sites(ds.iter_sites(), read_capacity=1024, site_capacity=16):
+        got = np.asarray(fn(batch.offsets, batch.counts, 1024, 16))
+        np.testing.assert_array_equal(got, batch.site_ids)
+        n_batches += 1
+    assert n_batches > 3  # multiple packings exercised
+
+
 def test_fetch_threads_env_validation(production_model, tmp_path, monkeypatch):
     """Garbage in M6ANET_TPU_FETCH_THREADS fails with a clear error, and the
     env default never overrides an explicit argument (ADVICE r4)."""
