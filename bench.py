@@ -71,11 +71,11 @@ def main():
     # CPU backend (no TPU attached) use a small shape so the bench stays
     # quick.  Backend: the transposed fused Pallas kernel (round 4: reads on
     # lanes, banded rank-2 embedding selection, MXU hi/mid/lo site
-    # reduction, one merged k=15 first layer at HIGHEST, block 8192) at
+    # reduction, one merged k=15 first layer at HIGHEST, block 16384) at
     # precision f32x3 — the fastest configuration that passes the
     # reference's golden contract (demo CLI on the TPU: indiv max|diff|
     # 6.1e-6 <= 1e-5, site 3.8e-3 <= 1e-2, mod_ratio 4.6e-8; see
-    # PERFORMANCE.md).  bf16 runs 9.6M sites/s at site-level tolerance
+    # PERFORMANCE.md).  bf16 runs ~9.8M sites/s at site-level tolerance
     # only; full-parity f32 modes: fused ~1.2M, XLA 1.157M.
     if jax.default_backend() == "cpu":
         site_capacity, read_capacity, n_chain = 1024, 65536, 2
