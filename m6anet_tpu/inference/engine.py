@@ -357,12 +357,13 @@ def run_inference(
 
     ``fetch_group`` batches G dispatches' outputs into ONE device-side
     concatenated buffer fetched in a single device->host transfer (0 =
-    auto-size to ~256 MB of results, capped at 64 batches).  On the axon
-    relay each transfer costs ~1.4-2.4 s regardless of size, so grouping
-    collapses the former per-batch write wall (11-19 s over 8 batches at
-    full scale) to one fetch.  CSV rows are still written strictly in site
-    order, so ``--resume`` semantics are unchanged — a crash mid-group
-    just re-scores that group's sites.
+    auto-size to ~256 MB of results, capped at 64 batches).  Measured on
+    the axon relay (PERFORMANCE.md round 5): per-transfer round-trip
+    latency ranges 0.1-2 s with bulk bandwidth ~2-20 MB/s depending on the
+    hour, so grouping saves up to G-1 round trips and is never worse than
+    per-batch fetches.  CSV rows are still written strictly in site order,
+    so ``--resume`` semantics are unchanged — a crash mid-group just
+    re-scores that group's sites.
     """
     os.makedirs(out_dir, exist_ok=True)
     timer = StageTimer()
