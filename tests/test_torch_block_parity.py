@@ -47,10 +47,25 @@ def _load_reference_blocks():
         tm.load = lambda f: (
             tomllib.load(open(f, "rb")) if isinstance(f, (str, os.PathLike)) else tomllib.loads(f.read())
         )
+
+        def _dump(obj, f):  # the reference's train.py dumps train_info.toml
+            import json
+
+            f.write("# train_info (json): " + json.dumps(obj, default=str) + "\n")
+
+        # keep this stub a superset of tools/compare_training.py's — within
+        # one pytest process whichever suite imports first wins, and the
+        # torch-parity slow lane runs BOTH (a dump-less stub broke the
+        # reference train loop in the round-5 slow-lane validation)
+        tm.dump = _dump
         sys.modules["toml"] = tm
     if "tqdm" not in sys.modules:
+        import importlib.machinery
+
         tq = types.ModuleType("tqdm")
         tq.tqdm = lambda it=None, *a, **k: it
+        # torch._dynamo introspects module specs of everything imported
+        tq.__spec__ = importlib.machinery.ModuleSpec("tqdm", None)
         sys.modules["tqdm"] = tq
     if REFERENCE_DIR not in sys.path:
         sys.path.insert(0, REFERENCE_DIR)

@@ -58,6 +58,20 @@ num_neighboring_features = 1
 
 
 def _install_reference_stubs():
+    # another suite (tests/test_torch_block_parity.py) may have installed a
+    # thinner toml stub first in the same process; patch missing attrs
+    # instead of assuming ours wins the import race
+    tm_existing = sys.modules.get("toml")
+    if tm_existing is not None and not hasattr(tm_existing, "dump"):
+        def _dump_patch(obj, f):
+            f.write("# train_info (json): " + json.dumps(obj, default=str) + "\n")
+
+        tm_existing.dump = _dump_patch
+    tq_existing = sys.modules.get("tqdm")
+    if tq_existing is not None and getattr(tq_existing, "__spec__", None) is None:
+        import importlib.machinery
+
+        tq_existing.__spec__ = importlib.machinery.ModuleSpec("tqdm", None)
     if "pkg_resources" not in sys.modules:
         stub = types.ModuleType("pkg_resources")
         stub.resource_filename = lambda pkg, path: os.path.join(
