@@ -55,9 +55,23 @@ def build_batch(read_capacity=4194304, site_capacity=65536, seed=0):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
     import tomllib
+
+    # persistent compilation cache (same location as the CLI): repeat bench
+    # invocations skip the multi-second step compile
+    cache_dir = os.environ.get(
+        "M6ANET_TPU_CACHE_DIR", os.path.expanduser("~/.cache/m6anet_tpu/jax")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is best-effort
 
     from m6anet_tpu.constants import (
         DEFAULT_MODEL_CONFIG,
