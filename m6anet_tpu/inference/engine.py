@@ -276,7 +276,6 @@ def _concat_group_flat(parts):
 def _write_batch(batch: SiteBatch, p, site_p, mod_ratio, f_site, f_indiv):
     from ..native import native_render_indiv_csv_batch
 
-    p = np.asarray(p)
     site_p = np.asarray(site_p)
     mod_ratio = np.asarray(mod_ratio)
 
@@ -289,6 +288,10 @@ def _write_batch(batch: SiteBatch, p, site_p, mod_ratio, f_site, f_indiv):
         )
         all_int_ids = all_int_ids and site.read_ids.dtype == np.int64
     f_site.write("".join(site_rows))
+
+    if f_indiv is None:  # site-only mode: p was never fetched
+        return
+    p = np.asarray(p)
 
     n_sites = len(batch.sites)
     counts = batch.counts[:n_sites]
@@ -341,6 +344,7 @@ def run_inference(
     n_threads: int = 1,
     fetch_threads: int = 1,
     fetch_group: int = 0,
+    write_indiv: bool = True,
 ) -> None:
     """Run inference over every site of the dataset and write both CSVs.
 
@@ -364,6 +368,13 @@ def run_inference(
     per-batch fetches.  CSV rows are still written strictly in site order,
     so ``--resume`` semantics are unchanged — a crash mid-group just
     re-scores that group's sites.
+
+    ``write_indiv=False`` skips data.indiv_proba.csv entirely (an
+    extension — the reference always writes both): per-read
+    probabilities are then neither fetched from the device nor rendered,
+    which removes ~97% of the device->host result volume (p is
+    read_capacity floats/batch vs 2*site_capacity for the site arrays)
+    — the measured e2e wall on relay-attached hardware.
     """
     os.makedirs(out_dir, exist_ok=True)
     timer = StageTimer()
@@ -435,8 +446,12 @@ def run_inference(
 
     n_done = 0
     file_mode = "w"
-    if resume and os.path.exists(site_path) and os.path.exists(indiv_path):
-        n_done = _prepare_resume(site_path, indiv_path)
+    if (
+        resume
+        and os.path.exists(site_path)
+        and (not write_indiv or os.path.exists(indiv_path))
+    ):
+        n_done = _prepare_resume(site_path, indiv_path if write_indiv else None)
         # nothing valid survived (e.g. the first run died before the header
         # buffers flushed): start over in "w" mode so headers are written
         file_mode = "a" if n_done > 0 else "w"
@@ -476,15 +491,20 @@ def run_inference(
         fetch_group = max(1, min(64, (256 << 20) // out_bytes_per_batch))
     fetch_threads = max(1, fetch_threads)
 
+    import contextlib
+
     # indiv file is binary: its rows are rendered natively as bytes
     with ThreadPoolExecutor(
         max_workers=fetch_threads, thread_name_prefix="m6anet-fetch"
-    ) as fetch_pool, open(site_path, file_mode, encoding="utf-8") as f_site, open(
-        indiv_path, file_mode + "b"
+    ) as fetch_pool, open(site_path, file_mode, encoding="utf-8") as f_site, (
+        open(indiv_path, file_mode + "b")
+        if write_indiv
+        else contextlib.nullcontext(None)
     ) as f_indiv:
         if file_mode == "w":
             f_site.write(SITE_HEADER)
-            f_indiv.write(INDIV_HEADER.encode())
+            if f_indiv is not None:
+                f_indiv.write(INDIV_HEADER.encode())
 
         # group: dispatched batches whose (device-resident) outputs await the
         # group flush.  Device memory: outputs are O(reads) f32, ~4 MB/batch
@@ -503,9 +523,12 @@ def run_inference(
             if not group:
                 return
             metas = [b for b, _ in group]
-            parts = tuple(r for _, res in group for r in res)
+            # site-only mode never moves p across the link (the per-read
+            # probabilities are ~97% of the result volume)
+            take = (lambda res: res) if write_indiv else (lambda res: res[1:])
+            parts = tuple(r for _, res in group for r in take(res))
             if not group_sizes:
-                group_sizes.extend(int(np.prod(r.shape)) for r in group[0][1])
+                group_sizes.extend(int(np.prod(r.shape)) for r in take(group[0][1]))
             # one jitted concat -> one contiguous f32 buffer -> one transfer
             flat = _concat_group_flat(parts)
             if async_hint:
@@ -526,6 +549,8 @@ def run_inference(
                     for sz in group_sizes:
                         views.append(flat[pos : pos + sz])
                         pos += sz
+                    if not write_indiv:
+                        views = [None] + views
                     _write_batch(b, *views, f_site=f_site, f_indiv=f_indiv)
 
         from ..data.prefetch import threaded_iter
@@ -599,8 +624,9 @@ def _timed_iter(timer: "StageTimer", name: str, it):
         yield item
 
 
-def _prepare_resume(site_path: str, indiv_path: str) -> int:
+def _prepare_resume(site_path: str, indiv_path: Optional[str]) -> int:
     """Truncate both CSVs to the last complete site; return its count.
+    ``indiv_path=None`` (site-only mode) truncates the site CSV alone.
 
     The site CSV is the source of truth: any site row after the last newline
     is dropped, then the indiv CSV is truncated to exactly the rows of the
@@ -634,6 +660,9 @@ def _prepare_resume(site_path: str, indiv_path: str) -> int:
                     ) from e
         f.truncate(offset)  # drops any torn trailing row
 
+    if indiv_path is None:
+        return n_done
+
     with open(indiv_path, "rb+") as f:
         offset = len(f.readline())
         remaining = expected_reads
@@ -658,7 +687,7 @@ def _prepare_resume(site_path: str, indiv_path: str) -> int:
     return n_done
 
 
-def merge_host_shards(out_dir: str, n_hosts: int) -> None:
+def merge_host_shards(out_dir: str, n_hosts: int, write_indiv: bool = True) -> None:
     """Concatenate per-host CSV shards into the final output files.
 
     Host-side merge keeps the reference's append-only CSV contract — no
@@ -666,10 +695,10 @@ def merge_host_shards(out_dir: str, n_hosts: int) -> None:
     """
     import shutil
 
-    for name, header in (
-        ("data.site_proba.csv", SITE_HEADER),
-        ("data.indiv_proba.csv", INDIV_HEADER),
-    ):
+    names = [("data.site_proba.csv", SITE_HEADER)]
+    if write_indiv:
+        names.append(("data.indiv_proba.csv", INDIV_HEADER))
+    for name, header in names:
         with open(os.path.join(out_dir, name), "wb") as out:
             out.write(header.encode())
             for host in range(n_hosts):

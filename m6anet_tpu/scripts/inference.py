@@ -89,6 +89,12 @@ def argparser():
     parser.add_argument("--resume", default=False, action="store_true",
                         help="continue an interrupted run from the last "
                              "fully-written site.")
+    parser.add_argument("--skip_indiv_proba", default=False, action="store_true",
+                        help="write only data.site_proba.csv (per-read "
+                             "probabilities are neither fetched from the "
+                             "device nor rendered — ~97%% less result "
+                             "transfer when only site-level calls are "
+                             "needed).")
     parser.add_argument("--columnar", default=False, action="store_true",
                         help="read the columnar site store instead of data.json "
                              "(requires dataprep --format columnar).")
@@ -234,6 +240,7 @@ def main(args):
         host_shard=host_shard,
         n_threads=getattr(args, "n_processes", 1),
         fetch_group=getattr(args, "fetch_group", 0),
+        write_indiv=not getattr(args, "skip_indiv_proba", False),
     )
 
     if getattr(args, "distributed", False):
@@ -244,4 +251,7 @@ def main(args):
         if jax.process_index() == 0:
             from ..inference.engine import merge_host_shards
 
-            merge_host_shards(args.out_dir, jax.process_count())
+            merge_host_shards(
+                args.out_dir, jax.process_count(),
+                write_indiv=not getattr(args, "skip_indiv_proba", False),
+            )

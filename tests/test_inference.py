@@ -214,6 +214,35 @@ def test_fetch_grouping_and_thread_overlap_identical(production_model, tmp_path,
         assert (tmp_path / "threaded" / name).read_bytes() == want
 
 
+def test_site_only_mode(production_model, tmp_path):
+    """write_indiv=False (--skip_indiv_proba) writes an identical site CSV,
+    no indiv CSV, and supports resume on the site file alone."""
+    model, params = production_model
+    _, thr, norm = PRETRAINED_CONFIGS["HCT116_RNA002"]
+    ds = build_dataset(DATA_DIR, min_reads=DEFAULT_MIN_READS, norm_path=norm, mode="Inference")
+
+    both = tmp_path / "both"
+    run_inference(model, params, ds, str(both), read_proba_threshold=thr)
+    site_only = tmp_path / "site_only"
+    run_inference(model, params, ds, str(site_only), read_proba_threshold=thr,
+                  write_indiv=False)
+    assert (site_only / "data.site_proba.csv").read_bytes() == (
+        both / "data.site_proba.csv"
+    ).read_bytes()
+    assert not (site_only / "data.indiv_proba.csv").exists()
+
+    # resume with a torn site CSV and no indiv file
+    lines = (both / "data.site_proba.csv").read_text().splitlines(keepends=True)
+    broken = tmp_path / "broken"
+    broken.mkdir()
+    (broken / "data.site_proba.csv").write_text("".join(lines[:20]) + "torn")
+    run_inference(model, params, ds, str(broken), read_proba_threshold=thr,
+                  write_indiv=False, resume=True)
+    assert (broken / "data.site_proba.csv").read_bytes() == (
+        both / "data.site_proba.csv"
+    ).read_bytes()
+
+
 def test_derive_site_ids_matches_packer(production_model):
     """The in-graph site-id reconstruction (transfer-lean inputs, round 5)
     must reproduce pack_sites' site_ids exactly — including padding sites
